@@ -1,0 +1,174 @@
+"""Static arena collision geometry as a branchless plane soup.
+
+The reference collides against `.cmf` triangle meshes through bullet BVHs plus
+4-6 backstop planes (Arena.cpp:1015-1121), and short-circuits most suspension
+rays to analytic planes via a voxel grid (SuspensionCollisionGrid.cpp:124-183).
+Pointer-chasing BVHs are hostile to XLA, so here the *entire* static world is a
+fixed set of bounded planes — floor, ceiling, walls, 45-degree corner wedges,
+and goal boxes — queried with dense vectorized math. Every query touches every
+plane; with ~24 planes that is a few hundred VPU flops per body, far cheaper
+than any gather.
+
+Each plane is (normal, offset, region_min, region_max): signed distance is
+`dot(n, p) - d` (positive inside the arena) and the plane only applies when
+the query point lies inside its region AABB. This keeps goal openings exact
+up to edge rounding. A mesh-derived SDF backend can replace this class
+without touching callers.
+
+Known approximations vs the real arena mesh (acceptable for training; the
+reference itself documents RocketSim as approximate):
+  - floor/wall/ceiling transition curves are sharp edges here,
+  - goal posts are hard edges of the opening regions,
+  - goal interior is a plain box.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rlgymppo_cpp_tpu.sim import constants as C
+from rlgymppo_cpp_tpu.sim.constants import GameMode
+
+INF = 1e30
+
+# Approximate goal dims (RLBot wiki values, used by the reference's own
+# goal prediction, Arena.cpp:846-849) and RL goal depth.
+GOAL_HALF_WIDTH = 892.755
+GOAL_HEIGHT = 642.775
+BACK_NET_Y = 6000.0
+# Ceiling plane of the real soccar mesh (CommonValues CEILING_Z); the
+# backstop plane in the reference sits at ARENA_HEIGHT=2048 but the mesh
+# surface is at 2044.
+CEILING_Z = 2044.0
+# Corner wedge offset: |x| + |y| = 8064 on the 45-degree corner walls.
+CORNER_INTERSECTION = 8064.0
+
+
+class ArenaGeom:
+    """Bounded-plane world for one game mode. Static, hashable, jit-friendly."""
+
+    def __init__(self, normals, offsets, region_min, region_max):
+        self.normals = jnp.asarray(normals, dtype=jnp.float32)        # [NP, 3]
+        self.offsets = jnp.asarray(offsets, dtype=jnp.float32)        # [NP]
+        self.region_min = jnp.asarray(region_min, dtype=jnp.float32)  # [NP, 3]
+        self.region_max = jnp.asarray(region_max, dtype=jnp.float32)  # [NP, 3]
+        self.num_planes = self.normals.shape[0]
+
+    def signed_distances(self, pos):
+        """Signed distance of `pos` [..., 3] to every applicable plane.
+
+        Returns [..., NP]; inapplicable planes read +INF.
+        """
+        d = jnp.einsum("...k,pk->...p", pos, self.normals) - self.offsets
+        inside = jnp.all(
+            (pos[..., None, :] >= self.region_min)
+            & (pos[..., None, :] <= self.region_max),
+            axis=-1,
+        )
+        return jnp.where(inside, d, INF)
+
+    def sphere_contact(self, pos, radius):
+        """Deepest sphere-vs-world contact.
+
+        Returns (depth [...], normal [..., 3]); depth > 0 means penetration
+        of the sphere surface (dist < radius).
+        """
+        dists = self.signed_distances(pos)
+        depths = radius - dists                       # [..., NP]
+        best = jnp.argmax(depths, axis=-1)
+        depth = jnp.take_along_axis(depths, best[..., None], axis=-1)[..., 0]
+        normal = self.normals[best]
+        return depth, normal
+
+    def raycast(self, start, direction, max_len):
+        """Analytic ray vs all planes; `direction` must be unit length.
+
+        Returns (hit [...] bool, t [...], normal [..., 3]). Matches the
+        suspension-grid fast path semantics: nearest front-face hit whose
+        hit point lies in the plane's region.
+        """
+        n_dot_dir = jnp.einsum("...k,pk->...p", direction, self.normals)
+        n_dot_p0 = jnp.einsum("...k,pk->...p", start, self.normals)
+        denom = jnp.where(jnp.abs(n_dot_dir) > 1e-9, n_dot_dir, -1e-9)
+        t = (self.offsets - n_dot_p0) / denom         # [..., NP]
+        # Only hits moving into the surface, within range
+        valid = (n_dot_dir < -1e-9) & (t >= 0.0) & (t <= max_len[..., None])
+        hit_point = start[..., None, :] + direction[..., None, :] * t[..., None]
+        in_region = jnp.all(
+            (hit_point >= self.region_min - 1e-3)
+            & (hit_point <= self.region_max + 1e-3),
+            axis=-1,
+        )
+        valid = valid & in_region
+        t_masked = jnp.where(valid, t, INF)
+        best = jnp.argmin(t_masked, axis=-1)
+        best_t = jnp.take_along_axis(t_masked, best[..., None], axis=-1)[..., 0]
+        hit = best_t < INF
+        normal = self.normals[best]
+        return hit, jnp.where(hit, best_t, max_len), normal
+
+
+def _plane(n, d, rmin=(-INF, -INF, -INF), rmax=(INF, INF, INF)):
+    return (np.asarray(n, np.float64), float(d),
+            np.asarray(rmin, np.float64), np.asarray(rmax, np.float64))
+
+
+def make_soccar_geom() -> ArenaGeom:
+    s = np.sqrt(0.5)
+    gw, gh, ny = GOAL_HALF_WIDTH, GOAL_HEIGHT, BACK_NET_Y
+    ex, ey, ez = C.ARENA_EXTENT_X, C.ARENA_EXTENT_Y, CEILING_Z
+
+    planes = [
+        # Floor (extends into goals) and ceiling
+        _plane((0, 0, 1), 0.0),
+        _plane((0, 0, -1), -ez, rmax=(INF, ey, INF), rmin=(-INF, -ey, -INF)),
+        # Side walls
+        _plane((-1, 0, 0), -ex),
+        _plane((1, 0, 0), -ex),
+        # 45-degree corner wedges
+        _plane((-s, -s, 0), -CORNER_INTERSECTION * s),
+        _plane((s, -s, 0), -CORNER_INTERSECTION * s),
+        _plane((-s, s, 0), -CORNER_INTERSECTION * s),
+        _plane((s, s, 0), -CORNER_INTERSECTION * s),
+    ]
+    for sign in (1.0, -1.0):
+        # Back wall split into 3 regions around the goal opening
+        n = (0.0, -sign, 0.0)
+        d = -ey
+        planes += [
+            _plane(n, d, rmin=(-INF, -INF, gh)),                      # above goal
+            _plane(n, d, rmin=(gw, -INF, -INF)),                      # beside (+x)
+            _plane(n, d, rmax=(-gw, INF, INF)),                       # beside (-x)
+        ]
+        # Goal box interior (only applies beyond the back wall)
+        in_goal_min = (-INF, ey, -INF) if sign > 0 else (-INF, -INF, -INF)
+        in_goal_max = (INF, INF, INF) if sign > 0 else (INF, -ey, INF)
+        planes += [
+            _plane((0.0, -sign, 0.0), -ny, rmin=in_goal_min, rmax=in_goal_max),  # net
+            _plane((1, 0, 0), -gw, rmin=in_goal_min, rmax=in_goal_max),   # left wall
+            _plane((-1, 0, 0), -gw, rmin=in_goal_min, rmax=in_goal_max),  # right wall
+            _plane((0, 0, -1), -gh, rmin=in_goal_min, rmax=in_goal_max),  # goal roof
+        ]
+
+    normals = np.stack([p[0] for p in planes]).astype(np.float32)
+    offsets = np.array([p[1] for p in planes], dtype=np.float32)
+    rmin = np.stack([p[2] for p in planes]).astype(np.float32)
+    rmax = np.stack([p[3] for p in planes]).astype(np.float32)
+    return ArenaGeom(normals, offsets, rmin, rmax)
+
+
+def make_void_geom() -> ArenaGeom:
+    """THE_VOID: no static world at all (Arena.cpp:509-515)."""
+    normals = np.zeros((1, 3), dtype=np.float32)
+    normals[0, 2] = 1.0
+    offsets = np.array([-INF], dtype=np.float32)  # floor infinitely far below
+    rmin = np.full((1, 3), -INF, dtype=np.float32)
+    rmax = np.full((1, 3), INF, dtype=np.float32)
+    return ArenaGeom(normals, offsets, rmin, rmax)
+
+
+def make_geom(game_mode: GameMode) -> ArenaGeom:
+    if game_mode in (GameMode.SOCCAR, GameMode.HEATSEEKER, GameMode.SNOWDAY):
+        return make_soccar_geom()
+    if game_mode == GameMode.THE_VOID:
+        return make_void_geom()
+    raise NotImplementedError(f"geometry for {game_mode!r} not implemented yet")
