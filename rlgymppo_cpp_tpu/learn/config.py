@@ -1,0 +1,87 @@
+"""Run configuration dataclasses.
+
+Same fields and defaults as the reference's aggregate config structs
+(LearnerConfig.h:14-81, PPOLearnerConfig.h:6-32, SkillTrackerConfig.h:7-45),
+minus thread-pool knobs that have no meaning in a single-program design —
+`num_envs` replaces numThreads x numGamesPerThread.
+"""
+
+import dataclasses
+from typing import Optional, Sequence
+
+
+@dataclasses.dataclass
+class PPOLearnerConfig:
+    policy_layer_sizes: Sequence[int] = (256, 256, 256)
+    critic_layer_sizes: Sequence[int] = (256, 256, 256)
+    batch_size: int = 50_000
+    epochs: int = 10
+    policy_lr: float = 3e-4
+    critic_lr: float = 3e-4
+    ent_coef: float = 0.005
+    clip_range: float = 0.2
+    mini_batch_size: int = 0          # 0 -> batch_size
+    # bf16 matmuls during learn (the autocastLearn analog; native on MXU,
+    # no grad scaler needed)
+    bf16_learn: bool = False
+    # bf16 params copy for rollout inference (halfPrecModels analog)
+    bf16_inference: bool = False
+    policy_temperature: float = 1.0
+    measure_gradient_noise: bool = False
+    gradient_noise_update_interval: int = 10
+    gradient_noise_avg_decay: float = 0.9925
+
+
+@dataclasses.dataclass
+class SkillTrackerConfig:
+    enabled: bool = False
+    per_mode_ratings: bool = False
+    num_envs: int = 64
+    games_per_update: int = 1
+    timesteps_per_version: int = 20_000_000
+    max_versions: int = 5
+    starting_rating: float = 0.0
+    rating_inc: float = 10.0          # ELO K-factor per goal
+    initial_rating_carry: bool = True
+    max_eval_seconds: float = 60.0
+    kickoff_only: bool = False
+
+
+@dataclasses.dataclass
+class LearnerConfig:
+    # Env parallelism: one batch of lockstep arenas per device
+    num_envs: int = 512
+    render_mode: bool = False
+    render_time_scale: float = 1.5
+
+    timestep_limit: int = 0           # 0 -> unlimited
+    exp_buffer_size: int = 100_000
+    timesteps_per_iteration: int = 50_000
+    standardize_returns: bool = True
+    max_returns_per_stats_inc: int = 150
+    deterministic: bool = False
+
+    # Overlap next collection with learning (stale-policy rollout), the
+    # collectionDuringLearn analog (LearnerConfig.h:44-46)
+    collection_during_learn: bool = False
+
+    ppo: PPOLearnerConfig = dataclasses.field(default_factory=PPOLearnerConfig)
+
+    gae_lambda: float = 0.95
+    gae_gamma: float = 0.99
+    reward_clip_range: float = 10.0
+
+    checkpoint_load_folder: Optional[str] = "checkpoints"
+    checkpoint_save_folder: Optional[str] = "checkpoints"
+    save_folder_add_unix_timestamp: bool = False
+    timesteps_per_save: int = 500_000
+    random_seed: int = 123
+    checkpoints_to_keep: int = 5
+
+    send_metrics: bool = True
+    metrics_project_name: str = "rlgymppo-cpp-tpu"
+    metrics_group_name: str = "unnamed-runs"
+    metrics_run_name: str = "rlgymppo-cpp-tpu-run"
+
+    skill_tracker: SkillTrackerConfig = dataclasses.field(
+        default_factory=SkillTrackerConfig)

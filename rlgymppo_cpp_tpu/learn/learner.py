@@ -1,0 +1,254 @@
+"""Top-level training orchestrator.
+
+The Learner ties collection, GAE, the experience buffer and PPO into the
+reference's iteration loop (Learner::Learn, src/public/RLGymPPO_CPP/
+Learner.cpp:436-606): collect a timestep quota, AddNewExperience (value
+predictions + GAE + return-stat update + buffer submit, :608-703), run PPO,
+report metrics, checkpoint with retention GC. Deterministic resume follows
+the same numbered-checkpoint-folder convention.
+
+Where the reference juggles collection threads, the collection here is one
+jitted scan; `collection_during_learn` overlap comes from JAX's async
+dispatch (the next rollout is dispatched before blocking on the PPO update).
+"""
+
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rlgymppo_cpp_tpu.learn.config import LearnerConfig
+from rlgymppo_cpp_tpu.learn.experience_buffer import ExperienceBuffer
+from rlgymppo_cpp_tpu.learn.ppo_learner import PPOLearner
+from rlgymppo_cpp_tpu.learn.rollout import RolloutCollector
+from rlgymppo_cpp_tpu.ops.gae import compute_gae
+from rlgymppo_cpp_tpu.ops.welford import (
+    welford_init, welford_update_batch, welford_std,
+)
+from rlgymppo_cpp_tpu.utils.report import Report
+from rlgymppo_cpp_tpu.utils.timer import Timer
+from rlgymppo_cpp_tpu.utils import checkpoint as ckpt
+
+REPORT_ORDER = [
+    "Average Step Reward", "Average Episode Reward", None,
+    "Policy Entropy", "Mean KL Divergence", "Mean Ratio",
+    "Value Function Loss", "SB3 Clip Fraction",
+    "Policy Update Magnitude", "Value Function Update Magnitude",
+    "Avg Return", "Avg Advantage", "Avg Val Target", None,
+    "Collection Time", "Consumption Time", "Total Iteration Time",
+    "Collected Steps/Second", "Overall Steps/Second",
+    "Cumulative Timesteps", "Cumulative Model Updates",
+]
+
+
+class Learner:
+    def __init__(self, gym, config: LearnerConfig = None):
+        self.config = config or LearnerConfig()
+        cfg = self.config
+        self.gym = gym
+
+        self.key = jax.random.PRNGKey(cfg.random_seed)
+
+        self.obs_size = gym.obs_size
+        self.action_amount = gym.action_amount
+        print(f"Learner: Got obs size {self.obs_size} and "
+              f"action amount {self.action_amount}")
+
+        self.ppo = PPOLearner(self.obs_size, self.action_amount, cfg.ppo)
+        self.key, sub = jax.random.split(self.key)
+        self.train_state = self.ppo.init(sub)
+
+        self.exp_buffer = ExperienceBuffer(cfg.exp_buffer_size, self.obs_size)
+        self.return_stats = welford_init(1)
+        self.collector = RolloutCollector(
+            gym, self.ppo.policy, deterministic=cfg.deterministic)
+
+        self.total_timesteps = 0
+        self.total_epochs = 0
+        self.iteration_callback = None
+        self.step_metrics_fn = None
+
+        # steps per iteration, counted like the reference in player-steps
+        players_per_step = gym.num_envs * gym.num_players
+        self.steps_per_iter = max(
+            1, cfg.timesteps_per_iteration // players_per_step)
+
+        self._gym_state = None
+        self._obs = None
+        self._last_save_ts = 0
+
+        if cfg.checkpoint_load_folder:
+            self.load()
+
+    # ------------------------------------------------------------ checkpoint
+
+    def save(self):
+        cfg = self.config
+        if not cfg.checkpoint_save_folder:
+            return
+        stats = {
+            "cumulative_timesteps": int(self.total_timesteps),
+            "cumulative_model_updates": int(self.ppo.cumulative_model_updates),
+            "epoch": int(self.total_epochs),
+            "reward_running_stats": {
+                "mean": np.asarray(self.return_stats.mean).tolist(),
+                "m2": np.asarray(self.return_stats.m2).tolist(),
+                "count": int(self.return_stats.count),
+            },
+        }
+        path = ckpt.save_checkpoint(
+            cfg.checkpoint_save_folder, self.total_timesteps,
+            self.train_state, stats, keep=cfg.checkpoints_to_keep)
+        print(f"Learner: Saved checkpoint to {path}")
+
+    def load(self):
+        cfg = self.config
+        path = ckpt.find_newest_checkpoint(cfg.checkpoint_load_folder)
+        if path is None:
+            return
+        print(f"Learner: Loading checkpoint from {path}")
+        self.train_state, meta = ckpt.load_checkpoint(path, self.train_state)
+        self.total_timesteps = meta.get("cumulative_timesteps", 0)
+        self.total_epochs = meta.get("epoch", 0)
+        self.ppo.cumulative_model_updates = meta.get(
+            "cumulative_model_updates", 0)
+        rs = meta.get("reward_running_stats")
+        if rs:
+            self.return_stats = self.return_stats.replace(
+                mean=jnp.asarray(rs["mean"], jnp.float32),
+                m2=jnp.asarray(rs["m2"], jnp.float32),
+                count=jnp.asarray(rs["count"], jnp.int32))
+        self._last_save_ts = self.total_timesteps
+
+    # -------------------------------------------------------------- pipeline
+
+    def _predict_values(self, obs_seq):
+        """Critic over [T+1, B, O] in one fused call."""
+        return self.ppo.value_net.forward(self.train_state["value"], obs_seq)
+
+    def add_new_experience(self, traj, last_obs, report: Report):
+        """Learner::AddNewExperience (Learner.cpp:608-703): value preds,
+        GAE, return stats, buffer submit."""
+        cfg = self.config
+        T = traj["obs"].shape[0]
+        N, P, O = traj["obs"].shape[1:]
+        B = N * P
+
+        obs_seq = jnp.concatenate(
+            [traj["obs"].reshape(T, B, O), last_obs.reshape(1, B, O)], axis=0)
+        values = self._predict_values(obs_seq)              # [T+1, B]
+
+        rewards = traj["rewards"].reshape(T, B)
+        dones = jnp.broadcast_to(
+            traj["dones"][:, :, None], (T, N, P)).reshape(T, B)
+        truncateds = jnp.broadcast_to(
+            traj["truncateds"][:, :, None], (T, N, P)).reshape(T, B)
+
+        ret_std = welford_std(self.return_stats)[0] \
+            if cfg.standardize_returns else jnp.float32(1.0)
+
+        advantages, value_targets, returns = compute_gae(
+            rewards.astype(jnp.float32), dones.astype(jnp.float32),
+            truncateds.astype(jnp.float32), values,
+            cfg.gae_gamma, cfg.gae_lambda, ret_std, cfg.reward_clip_range)
+
+        report["Avg Return"] = float(jnp.mean(jnp.abs(returns)) / ret_std)
+        report["Avg Advantage"] = float(jnp.mean(jnp.abs(advantages)))
+        report["Avg Val Target"] = float(jnp.mean(jnp.abs(value_targets)))
+
+        if cfg.standardize_returns:
+            n_inc = min(cfg.max_returns_per_stats_inc, returns.shape[0])
+            self.return_stats = welford_update_batch(
+                self.return_stats, returns[:n_inc].reshape(-1)[:, None])
+
+        self.exp_buffer.submit_experience({
+            "states": obs_seq[:-1].reshape(T * B, O),
+            "actions": traj["actions"].reshape(T * B).astype(jnp.int32),
+            "log_probs": traj["log_probs"].reshape(T * B),
+            "values": value_targets.reshape(T * B),
+            "advantages": advantages.reshape(T * B),
+        })
+
+    # ------------------------------------------------------------------ main
+
+    def learn(self, iterations=None):
+        """Main loop until timestep_limit (or `iterations`)."""
+        cfg = self.config
+        if self._gym_state is None:
+            self.key, sub = jax.random.split(self.key)
+            self._gym_state, self._obs = self.gym.reset(sub)
+
+        total_timer = Timer()
+        start_ts = self.total_timesteps
+        it = 0
+        while True:
+            if iterations is not None and it >= iterations:
+                break
+            if cfg.timestep_limit and self.total_timesteps >= cfg.timestep_limit:
+                print(f"Learner: Timestep limit of {cfg.timestep_limit} "
+                      "reached, stopping")
+                break
+            it += 1
+            report = Report()
+            iter_timer = Timer()
+
+            # ---- collection ----
+            self.key, sub = jax.random.split(self.key)
+            self._gym_state, self._obs, traj, col_metrics = \
+                self.collector.collect(
+                    self.train_state["policy"], self._gym_state, self._obs,
+                    sub, self.steps_per_iter)
+            jax.block_until_ready(traj["rewards"])
+            collect_time = iter_timer.elapsed()
+
+            ts_collected = self.steps_per_iter * self.gym.num_envs \
+                * self.gym.num_players
+            self.total_timesteps += ts_collected
+
+            report["Average Step Reward"] = float(
+                col_metrics["avg_step_reward"])
+            report["Average Episode Reward"] = float(
+                col_metrics["avg_episode_reward"])
+
+            # ---- consumption ----
+            consume_timer = Timer()
+            self.add_new_experience(traj, self._obs, report)
+            self.key, sub = jax.random.split(self.key)
+            self.train_state, ppo_report = self.ppo.learn(
+                self.train_state, self.exp_buffer, sub)
+            report.update(ppo_report)
+            consume_time = consume_timer.elapsed()
+
+            self.total_epochs += cfg.ppo.epochs
+
+            # ---- accounting (Learner.cpp:541-570) ----
+            iter_time = iter_timer.elapsed()
+            report["Collection Time"] = collect_time
+            report["Consumption Time"] = consume_time
+            report["Total Iteration Time"] = iter_time
+            report["Collected Steps/Second"] = ts_collected / max(
+                collect_time, 1e-9)
+            report["Overall Steps/Second"] = ts_collected / max(
+                iter_time, 1e-9)
+            report["Cumulative Timesteps"] = self.total_timesteps
+
+            if self.iteration_callback:
+                self.iteration_callback(self, report)
+
+            if cfg.checkpoint_save_folder and cfg.timesteps_per_save and (
+                    self.total_timesteps - self._last_save_ts
+                    >= cfg.timesteps_per_save):
+                self.save()
+                self._last_save_ts = self.total_timesteps
+
+        total = total_timer.elapsed()
+        if total > 0:
+            print(f"Learner: {self.total_timesteps - start_ts:,} timesteps "
+                  f"in {total:.1f}s "
+                  f"({(self.total_timesteps - start_ts) / total:,.0f} sps)")
+        return self
+
+    def display_report(self, report: Report):
+        print(report.display(REPORT_ORDER))

@@ -1,0 +1,217 @@
+"""PPO optimization: clipped surrogate + entropy + value MSE.
+
+Functional re-design of the reference's PPOLearner
+(src/private/RLGymPPO_CPP/PPO/PPOLearner.cpp:29-349): per epoch the buffer
+yields shuffled full batches; each batch is consumed as a lax.scan over
+minibatches with gradient accumulation scaled by batchSizeRatio
+(PPOLearner.cpp:127,171,178), then one clipped-global-norm(0.5) Adam step
+per network. The reference's CPU thread-pool fan-out (:236-256) becomes the
+minibatch scan; its CUDA autocast becomes native bf16 matmuls.
+
+Reported metrics match :305-345: mean entropy, SB3 KL, mean ratio, value
+loss, SB3 clip fraction, update magnitudes, cumulative updates.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from rlgymppo_cpp_tpu.learn.config import PPOLearnerConfig
+from rlgymppo_cpp_tpu.models.discrete_policy import DiscretePolicy
+from rlgymppo_cpp_tpu.models.value_estimator import ValueEstimator
+
+
+def _global_norm(tree):
+    return optax.global_norm(tree)
+
+
+def _params_vector_norm_diff(a, b):
+    leaves_a = jax.tree.leaves(a)
+    leaves_b = jax.tree.leaves(b)
+    sq = sum(jnp.sum((x - y) ** 2) for x, y in zip(leaves_a, leaves_b))
+    return jnp.sqrt(sq)
+
+
+class PPOLearner:
+    def __init__(self, obs_size: int, action_amount: int,
+                 config: PPOLearnerConfig, sharding=None):
+        self.config = config
+        if config.mini_batch_size == 0:
+            config.mini_batch_size = config.batch_size
+        if config.batch_size % config.mini_batch_size != 0:
+            raise ValueError("batch_size must be a multiple of mini_batch_size")
+
+        compute_dtype = jnp.bfloat16 if config.bf16_learn else None
+        self.policy = DiscretePolicy(
+            obs_size, action_amount, config.policy_layer_sizes,
+            temperature=config.policy_temperature,
+            compute_dtype=compute_dtype)
+        self.value_net = ValueEstimator(
+            obs_size, config.critic_layer_sizes, compute_dtype=compute_dtype)
+
+        # grad clip 0.5 then Adam, like clip_grad_norm_ + optimizer step
+        self.policy_optimizer = optax.chain(
+            optax.clip_by_global_norm(0.5),
+            optax.inject_hyperparams(optax.adam)(config.policy_lr))
+        self.value_optimizer = optax.chain(
+            optax.clip_by_global_norm(0.5),
+            optax.inject_hyperparams(optax.adam)(config.critic_lr))
+
+        self.cumulative_model_updates = 0
+        self.sharding = sharding
+
+    def init(self, key):
+        kp, kv = jax.random.split(key)
+        policy_params = self.policy.init(kp)
+        value_params = self.value_net.init(kv)
+        return {
+            "policy": policy_params,
+            "value": value_params,
+            "policy_opt": self.policy_optimizer.init(policy_params),
+            "value_opt": self.value_optimizer.init(value_params),
+        }
+
+    # ------------------------------------------------------------ batch step
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _train_batch(self, train_state, batch):
+        """One PPO batch: minibatch scan w/ grad accumulation, then one
+        optimizer step per network."""
+        cfg = self.config
+        mbs = cfg.mini_batch_size
+        n_mb = cfg.batch_size // mbs
+        train_policy = cfg.policy_lr != 0
+        train_critic = cfg.critic_lr != 0
+
+        def minibatch_loss(params, mb):
+            policy_params, value_params = params
+            obs = mb["states"]
+            acts = mb["actions"]
+            old_probs = mb["log_probs"]
+            advantages = mb["advantages"]
+            target_values = mb["values"]
+            ratio_scale = mbs / cfg.batch_size
+
+            vals = self.value_net.forward(value_params, obs)
+            log_probs, entropy = self.policy.get_backprop_data(
+                policy_params, obs, acts)
+            ratio = jnp.exp(log_probs - old_probs)
+            clipped = jnp.clip(ratio, 1 - cfg.clip_range, 1 + cfg.clip_range)
+            policy_loss = -jnp.mean(
+                jnp.minimum(ratio * advantages, clipped * advantages))
+            ppo_loss = (policy_loss - entropy * cfg.ent_coef) * ratio_scale
+            value_loss = jnp.mean((vals - target_values) ** 2) * ratio_scale
+
+            loss = jnp.where(train_policy, ppo_loss, 0.0) \
+                + jnp.where(train_critic, value_loss, 0.0)
+
+            # SB3 diagnostics (PPOLearner.cpp:183-198)
+            log_ratio = log_probs - old_probs
+            kl = jnp.mean((jnp.exp(log_ratio) - 1) - log_ratio)
+            clip_frac = jnp.mean(
+                (jnp.abs(ratio - 1) > cfg.clip_range).astype(jnp.float32))
+            metrics = {
+                "entropy": entropy,
+                "kl": kl,
+                "ratio": jnp.mean(ratio),
+                "value_loss": value_loss / ratio_scale,
+                "clip_fraction": clip_frac,
+            }
+            return loss, metrics
+
+        grad_fn = jax.grad(minibatch_loss, has_aux=True)
+
+        def scan_body(carry, mb):
+            grads_acc, metrics_acc = carry
+            grads, metrics = grad_fn(
+                (train_state["policy"], train_state["value"]), mb)
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            metrics_acc = jax.tree.map(jnp.add, metrics_acc, metrics)
+            return (grads_acc, metrics_acc), None
+
+        zero_grads = jax.tree.map(
+            jnp.zeros_like, (train_state["policy"], train_state["value"]))
+        zero_metrics = {k: jnp.zeros(()) for k in
+                        ("entropy", "kl", "ratio", "value_loss",
+                         "clip_fraction")}
+        minibatches = jax.tree.map(
+            lambda x: x.reshape(n_mb, mbs, *x.shape[1:]), batch)
+        (grads, metrics), _ = jax.lax.scan(
+            scan_body, (zero_grads, zero_metrics), minibatches)
+        metrics = jax.tree.map(lambda m: m / n_mb, metrics)
+
+        policy_grads, value_grads = grads
+        new_state = dict(train_state)
+        if train_policy:
+            updates, new_state["policy_opt"] = self.policy_optimizer.update(
+                policy_grads, train_state["policy_opt"],
+                train_state["policy"])
+            new_state["policy"] = optax.apply_updates(
+                train_state["policy"], updates)
+        if train_critic:
+            updates, new_state["value_opt"] = self.value_optimizer.update(
+                value_grads, train_state["value_opt"], train_state["value"])
+            new_state["value"] = optax.apply_updates(
+                train_state["value"], updates)
+        return new_state, metrics
+
+    # ----------------------------------------------------------------- learn
+
+    def learn(self, train_state, exp_buffer, key):
+        """Full PPO phase over the experience buffer. Returns
+        (train_state', report dict of floats)."""
+        cfg = self.config
+        policy_before = train_state["policy"]
+        critic_before = train_state["value"]
+
+        num_iterations = 0
+        metrics_sum = None
+        for epoch in range(cfg.epochs):
+            key, sub = jax.random.split(key)
+            batch_indices = exp_buffer.get_shuffled_batch_indices(
+                sub, cfg.batch_size)
+            for b in range(batch_indices.shape[0]):
+                idx = batch_indices[b]
+                batch = {k: exp_buffer.data[k][idx]
+                         for k in ("states", "actions", "log_probs",
+                                   "values", "advantages")}
+                train_state, metrics = self._train_batch(train_state, batch)
+                num_iterations += 1
+                metrics = {k: float(v) for k, v in metrics.items()}
+                if metrics_sum is None:
+                    metrics_sum = metrics
+                else:
+                    metrics_sum = {k: metrics_sum[k] + metrics[k]
+                                   for k in metrics}
+
+        n = max(num_iterations, 1)
+        self.cumulative_model_updates += num_iterations
+        report = {
+            "Cumulative Model Updates": self.cumulative_model_updates,
+            "Policy Entropy": (metrics_sum or {}).get("entropy", 0.0) / n,
+            "Mean KL Divergence": (metrics_sum or {}).get("kl", 0.0) / n,
+            "Mean Ratio": (metrics_sum or {}).get("ratio", 0.0) / n,
+            "Value Function Loss":
+                (metrics_sum or {}).get("value_loss", 0.0) / n,
+            "SB3 Clip Fraction":
+                (metrics_sum or {}).get("clip_fraction", 0.0) / n,
+            "Policy Update Magnitude": float(_params_vector_norm_diff(
+                policy_before, train_state["policy"])),
+            "Value Function Update Magnitude": float(_params_vector_norm_diff(
+                critic_before, train_state["value"])),
+        }
+        return train_state, report
+
+    def update_learning_rates(self, train_state, policy_lr, critic_lr):
+        """Learner::UpdateLearningRates analog: mutate optimizer hyperparams
+        in the opt state (Learner.cpp:705-707)."""
+        self.config.policy_lr = policy_lr
+        self.config.critic_lr = critic_lr
+        train_state["policy_opt"][1].hyperparams["learning_rate"] = \
+            jnp.asarray(policy_lr)
+        train_state["value_opt"][1].hyperparams["learning_rate"] = \
+            jnp.asarray(critic_lr)
+        return train_state

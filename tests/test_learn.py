@@ -1,0 +1,174 @@
+"""Learner math vs hand computations (GAE/Welford/buffer) and an
+end-to-end smoke iteration (SURVEY.md §4 test plan items b, d)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rlgymppo_cpp_tpu.ops.gae import compute_gae
+from rlgymppo_cpp_tpu.ops.welford import (
+    welford_init, welford_update_batch, welford_mean, welford_std,
+)
+from rlgymppo_cpp_tpu.learn.experience_buffer import ExperienceBuffer
+
+
+def reference_gae(rews, dones, truncs, values, gamma, lam, ret_std, clip):
+    """Literal transcription of TorchFuncs::ComputeGAE (TorchFuncs.cpp:5-52)
+    in numpy, as the oracle."""
+    next_values = values[1:]
+    n = len(rews)
+    ret_scale = 1.0 / ret_std if ret_std != 0 else 0.0
+    adv = np.zeros(n)
+    returns = np.zeros(n)
+    last_gae = 0.0
+    last_ret = 0.0
+    for t in reversed(range(n)):
+        done = 1.0 - dones[t]
+        trunc = 1.0 - truncs[t]
+        if ret_std != 0:
+            nr = rews[t] * ret_scale
+            if clip > 0:
+                nr = np.clip(nr, -clip, clip)
+        else:
+            nr = rews[t]
+        pred_ret = nr + gamma * next_values[t] * done
+        delta = pred_ret - values[t]
+        ret = rews[t] + last_ret * gamma * done * trunc
+        returns[t] = ret
+        last_ret = ret
+        last_gae = delta + gamma * lam * done * trunc * last_gae
+        adv[t] = last_gae
+    targets = values[:-1] + adv
+    return adv, targets, returns
+
+
+@pytest.mark.parametrize("ret_std,clip", [(1.0, 10.0), (3.7, 10.0),
+                                          (2.0, 0.5), (0.0, 10.0)])
+def test_gae_matches_reference(ret_std, clip):
+    rng = np.random.default_rng(0)
+    T = 40
+    rews = rng.normal(size=T).astype(np.float32) * 3
+    dones = (rng.random(T) < 0.1).astype(np.float32)
+    truncs = np.zeros(T, np.float32)
+    truncs[-1] = 1.0 - dones[-1]
+    values = rng.normal(size=T + 1).astype(np.float32)
+
+    adv_ref, tgt_ref, ret_ref = reference_gae(
+        rews, dones, truncs, values, 0.99, 0.95, ret_std, clip)
+
+    adv, tgt, ret = compute_gae(
+        jnp.asarray(rews)[:, None], jnp.asarray(dones)[:, None],
+        jnp.asarray(truncs)[:, None], jnp.asarray(values)[:, None],
+        0.99, 0.95, jnp.float32(ret_std), clip)
+
+    np.testing.assert_allclose(np.asarray(adv)[:, 0], adv_ref, rtol=2e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(tgt)[:, 0], tgt_ref, rtol=2e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ret)[:, 0], ret_ref, rtol=2e-4,
+                               atol=1e-4)
+
+
+def test_welford_matches_numpy():
+    rng = np.random.default_rng(1)
+    xs = rng.normal(loc=5.0, scale=2.5, size=1000).astype(np.float32)
+    st = welford_init(1)
+    for chunk in np.split(xs, 10):
+        st = welford_update_batch(st, jnp.asarray(chunk)[:, None])
+    assert float(welford_mean(st)[0]) == pytest.approx(xs.mean(), abs=1e-2)
+    assert float(welford_std(st)[0]) == pytest.approx(xs.std(ddof=1),
+                                                      abs=1e-2)
+
+
+def test_welford_initial_guards():
+    st = welford_init(1)
+    assert float(welford_std(st)[0]) == 1.0
+    assert float(welford_mean(st)[0]) == 0.0
+
+
+def test_experience_buffer_fifo():
+    buf = ExperienceBuffer(10, 2)
+
+    def batch(lo, hi):
+        n = hi - lo
+        vals = jnp.arange(lo, hi, dtype=jnp.float32)
+        return {
+            "states": jnp.stack([vals, vals], axis=-1),
+            "actions": jnp.arange(lo, hi, dtype=jnp.int32),
+            "log_probs": vals, "values": vals, "advantages": vals,
+        }
+
+    buf.submit_experience(batch(0, 4))
+    assert buf.cur_size == 4
+    np.testing.assert_array_equal(
+        np.asarray(buf.data["actions"][:4]), [0, 1, 2, 3])
+
+    buf.submit_experience(batch(4, 8))
+    assert buf.cur_size == 8
+
+    # Overflow: drop oldest (shift semantics, ExperienceBuffer.cpp:59-69)
+    buf.submit_experience(batch(8, 14))
+    assert buf.cur_size == 10
+    np.testing.assert_array_equal(
+        np.asarray(buf.data["actions"]), np.arange(4, 14))
+
+    # Oversized submit keeps the newest rows (:37-41)
+    buf.submit_experience(batch(0, 25))
+    np.testing.assert_array_equal(
+        np.asarray(buf.data["actions"]), np.arange(15, 25))
+
+    idx = buf.get_shuffled_batch_indices(jax.random.PRNGKey(0), 5)
+    assert idx.shape == (2, 5)
+    assert sorted(np.asarray(idx).flatten().tolist()) == list(range(10))
+
+
+def test_end_to_end_learning_iteration(tmp_path):
+    """Full data path: rollout -> GAE -> buffer -> PPO -> checkpoint."""
+    from rlgymppo_cpp_tpu.gym import (
+        Gym, Match, DiscreteAction, DefaultOBS, CombinedReward,
+        VelocityPlayerToBallReward, FaceBallReward, NoTouchCondition,
+        GoalScoreCondition, RandomState,
+    )
+    from rlgymppo_cpp_tpu.learn import Learner, LearnerConfig, PPOLearnerConfig
+
+    match = Match(
+        reward_fn=CombinedReward([(VelocityPlayerToBallReward(), 1.0),
+                                  (FaceBallReward(), 0.25)]),
+        terminal_conditions=[NoTouchCondition(50), GoalScoreCondition()],
+        obs_builder=DefaultOBS(),
+        action_parser=DiscreteAction(),
+        state_setter=RandomState(True, True, True),
+        team_size=1, spawn_opponents=False,
+    )
+    gym = Gym(match, num_envs=8, tick_skip=8)
+    assert gym.obs_size == 70  # 9 + 8 + 34 + 19 for 1v0
+    assert gym.action_amount == 90
+
+    cfg = LearnerConfig(
+        num_envs=8,
+        timesteps_per_iteration=128,
+        exp_buffer_size=256,
+        ppo=PPOLearnerConfig(
+            batch_size=128, mini_batch_size=64, epochs=2,
+            policy_layer_sizes=(32, 32), critic_layer_sizes=(32, 32)),
+        checkpoint_save_folder=str(tmp_path / "ckpt"),
+        checkpoint_load_folder=None,
+        timesteps_per_save=128,
+        standardize_returns=True,
+    )
+    learner = Learner(gym, cfg)
+    learner.learn(iterations=2)
+    assert learner.total_timesteps == 2 * 128
+    assert learner.ppo.cumulative_model_updates > 0
+
+    # Save + reload round trip
+    learner.save()
+    cfg2 = LearnerConfig(**{**cfg.__dict__,
+                            "checkpoint_load_folder": str(tmp_path / "ckpt")})
+    learner2 = Learner(gym, cfg2)
+    assert learner2.total_timesteps == learner.total_timesteps
+    p1 = jax.tree.leaves(learner.train_state["policy"])
+    p2 = jax.tree.leaves(learner2.train_state["policy"])
+    for a, b in zip(p1, p2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
