@@ -19,6 +19,9 @@ from flax import struct
 
 from rlgymppo_cpp_tpu.sim.arena import Arena
 from rlgymppo_cpp_tpu.sim.car_config import CAR_CONFIG_OCTANE
+from rlgymppo_cpp_tpu.sim.game_event_tracker import (
+    GameEventTracker, GameEventTrackerConfig,
+)
 from rlgymppo_cpp_tpu.sim.constants import GameMode
 from rlgymppo_cpp_tpu.sim.mutators import MutatorConfig
 from rlgymppo_cpp_tpu.sim.state import ArenaState
@@ -60,6 +63,7 @@ class GymState:
     counters: dict               # per-player int32 match counters
     score_line: jnp.ndarray      # [N, 2]
     last_touch: jnp.ndarray      # [N]
+    event_tracker: object        # EventTrackerState
     reward_carry: object
     terminal_carries: tuple
     episode_reward: jnp.ndarray  # [N, P] accumulated (for metrics)
@@ -72,7 +76,8 @@ class Gym:
     def __init__(self, match: Match, num_envs: int, tick_skip: int = 8,
                  car_config=CAR_CONFIG_OCTANE,
                  game_mode: GameMode = GameMode.SOCCAR,
-                 mutator_config: MutatorConfig = None):
+                 mutator_config: MutatorConfig = None,
+                 event_tracker_config: GameEventTrackerConfig = None):
         self.match = match
         self.num_envs = num_envs
         self.tick_skip = tick_skip
@@ -81,6 +86,8 @@ class Gym:
                            car_config=car_config,
                            mutator_config=mutator_config)
         self.num_players = self.arena.num_players
+        self.event_tracker = GameEventTracker(self.arena,
+                                              event_tracker_config)
         if self.arena.num_pads:
             self.pad_index_map = CV.boost_pad_index_map(
                 np.asarray(self.arena.pad_pos))
@@ -121,6 +128,7 @@ class Gym:
             counters=counters,
             score_line=score_line,
             last_touch=last_touch,
+            event_tracker=self.event_tracker.init((N,)),
             reward_carry=self.match.reward_fn.init(gs),
             terminal_carries=tuple(
                 c.init((N,)) for c in self.match.terminal_conditions),
@@ -160,6 +168,12 @@ class Gym:
         score_line = state.score_line + jnp.where(
             scored[..., None],
             jax.nn.one_hot(scoring_team, 2, dtype=jnp.int32), 0)
+
+        # Shot/goal/save/assist events (eventTracker.Update, Gym.cpp:83)
+        tracker_state, game_events = self.event_tracker.update(
+            state.event_tracker, arena1, scored, self.tick_skip)
+        for k in ("goals", "assists", "shots", "shot_passes", "saves"):
+            counters[k] = counters[k] + game_events[k]
 
         gs = self._game_state(arena1, counters, score_line, state.last_touch)
 
@@ -223,12 +237,16 @@ class Gym:
             "episode_steps": episode_steps,
             "scored": scored,
         }
+        tracker_state = jax.tree.map(
+            merge, self.event_tracker.init((self.num_envs,)), tracker_state)
+
         new_state = GymState(
             arena=merged_arena,
             prev_actions=merged_prev,
             counters=merged_counters,
             score_line=merged_score,
             last_touch=merged_touch,
+            event_tracker=tracker_state,
             reward_carry=reward_carry,
             terminal_carries=new_tcarries,
             episode_reward=jnp.where(done[..., None], 0.0, episode_reward),

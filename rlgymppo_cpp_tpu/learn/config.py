@@ -38,10 +38,10 @@ class SkillTrackerConfig:
     per_mode_ratings: bool = False
     num_envs: int = 64
     games_per_update: int = 1
-    timesteps_per_version: int = 20_000_000
-    max_versions: int = 5
-    starting_rating: float = 0.0
-    rating_inc: float = 10.0          # ELO K-factor per goal
+    timesteps_per_version: int = 50_000_000
+    max_versions: int = 4
+    starting_rating: float = 1000.0   # initialRating (SkillTrackerConfig.h)
+    rating_inc: float = 5.0           # ELO K-factor per goal
     initial_rating_carry: bool = True
     max_eval_seconds: float = 60.0
     kickoff_only: bool = False

@@ -65,6 +65,15 @@ class Learner:
         self.collector = RolloutCollector(
             gym, self.ppo.policy, deterministic=cfg.deterministic)
 
+        self.skill_tracker = None
+        if cfg.skill_tracker.enabled:
+            from rlgymppo_cpp_tpu.learn.skill_tracker import SkillTracker
+            self.skill_tracker = SkillTracker(
+                cfg.skill_tracker, gym.match, self.ppo.policy,
+                tick_skip=gym.tick_skip, game_mode=gym.arena.game_mode,
+                car_config=gym.arena.car_config,
+                rng=np.random.default_rng(cfg.random_seed))
+
         self.total_timesteps = 0
         self.total_epochs = 0
         self.iteration_callback = None
@@ -78,9 +87,23 @@ class Learner:
         self._gym_state = None
         self._obs = None
         self._last_save_ts = 0
+        self.run_id = None
 
         if cfg.checkpoint_load_folder:
             self.load()
+
+        self.metric_sender = None
+        if cfg.send_metrics:
+            from rlgymppo_cpp_tpu.utils.metric_sender import MetricSender
+            self.metric_sender = MetricSender(
+                cfg.metrics_project_name, cfg.metrics_group_name,
+                cfg.metrics_run_name, run_id=self.run_id)
+            self.run_id = self.metric_sender.run_id
+
+        self.render_sender = None
+        if cfg.render_mode:
+            from rlgymppo_cpp_tpu.utils.render_sender import RenderSender
+            self.render_sender = RenderSender(gym)
 
     # ------------------------------------------------------------ checkpoint
 
@@ -92,15 +115,27 @@ class Learner:
             "cumulative_timesteps": int(self.total_timesteps),
             "cumulative_model_updates": int(self.ppo.cumulative_model_updates),
             "epoch": int(self.total_epochs),
+            "run_id": getattr(self, "run_id", None),
+            "obs_size": int(self.obs_size),
+            "action_amount": int(self.action_amount),
+            "policy_layer_sizes": list(cfg.ppo.policy_layer_sizes),
+            "critic_layer_sizes": list(cfg.ppo.critic_layer_sizes),
             "reward_running_stats": {
                 "mean": np.asarray(self.return_stats.mean).tolist(),
                 "m2": np.asarray(self.return_stats.m2).tolist(),
                 "count": int(self.return_stats.count),
             },
         }
+        if self.skill_tracker is not None:
+            stats["skill_tracker"] = self.skill_tracker.state_dict()
+            st = self.skill_tracker.state_dict()
+            stats["skill_rating"] = st["cur_rating"]
         path = ckpt.save_checkpoint(
             cfg.checkpoint_save_folder, self.total_timesteps,
             self.train_state, stats, keep=cfg.checkpoints_to_keep)
+        if self.skill_tracker is not None:
+            for i, p in enumerate(self.skill_tracker.old_params):
+                ckpt.save_extra_tree(path, f"SKILL_POLICY_{i}", p)
         print(f"Learner: Saved checkpoint to {path}")
 
     def load(self):
@@ -112,8 +147,21 @@ class Learner:
         self.train_state, meta = ckpt.load_checkpoint(path, self.train_state)
         self.total_timesteps = meta.get("cumulative_timesteps", 0)
         self.total_epochs = meta.get("epoch", 0)
+        self.run_id = meta.get("run_id")
         self.ppo.cumulative_model_updates = meta.get(
             "cumulative_model_updates", 0)
+        if self.skill_tracker is not None and "skill_tracker" in meta:
+            old_params = []
+            i = 0
+            while True:
+                p = ckpt.load_extra_tree(path, f"SKILL_POLICY_{i}",
+                                         self.train_state["policy"])
+                if p is None:
+                    break
+                old_params.append(p)
+                i += 1
+            self.skill_tracker.load_state_dict(meta["skill_tracker"],
+                                               old_params)
         rs = meta.get("reward_running_stats")
         if rs:
             self.return_stats = self.return_stats.replace(
@@ -196,10 +244,17 @@ class Learner:
 
             # ---- collection ----
             self.key, sub = jax.random.split(self.key)
-            self._gym_state, self._obs, traj, col_metrics = \
-                self.collector.collect(
-                    self.train_state["policy"], self._gym_state, self._obs,
-                    sub, self.steps_per_iter)
+            if self.render_sender is not None:
+                self._gym_state, self._obs, traj, col_metrics = \
+                    self.collector.collect_rendered(
+                        self.train_state["policy"], self._gym_state,
+                        self._obs, sub, self.steps_per_iter,
+                        self.render_sender, cfg.render_time_scale)
+            else:
+                self._gym_state, self._obs, traj, col_metrics = \
+                    self.collector.collect(
+                        self.train_state["policy"], self._gym_state,
+                        self._obs, sub, self.steps_per_iter)
             jax.block_until_ready(traj["rewards"])
             collect_time = iter_timer.elapsed()
 
@@ -223,6 +278,13 @@ class Learner:
 
             self.total_epochs += cfg.ppo.epochs
 
+            # ---- skill eval (Learner.cpp:527-538) ----
+            if self.skill_tracker is not None:
+                ratings = self.skill_tracker.run_games(
+                    self.train_state["policy"], ts_collected)
+                for mode, r in ratings.items():
+                    report[f"Skill Rating {mode}".strip()] = r
+
             # ---- accounting (Learner.cpp:541-570) ----
             iter_time = iter_timer.elapsed()
             report["Collection Time"] = collect_time
@@ -236,6 +298,8 @@ class Learner:
 
             if self.iteration_callback:
                 self.iteration_callback(self, report)
+            if self.metric_sender is not None:
+                self.metric_sender.send(report)
 
             if cfg.checkpoint_save_folder and cfg.timesteps_per_save and (
                     self.total_timesteps - self._last_save_ts

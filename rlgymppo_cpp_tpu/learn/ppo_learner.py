@@ -63,6 +63,13 @@ class PPOLearner:
         self.cumulative_model_updates = 0
         self.sharding = sharding
 
+        self.grad_noise_tracker = None
+        if config.measure_gradient_noise:
+            from rlgymppo_cpp_tpu.utils.grad_noise import GradNoiseTracker
+            self.grad_noise_tracker = GradNoiseTracker(
+                config.batch_size, config.gradient_noise_update_interval,
+                config.gradient_noise_avg_decay)
+
     def init(self, key):
         kp, kv = jax.random.split(key)
         policy_params = self.policy.init(kp)
@@ -144,6 +151,9 @@ class PPOLearner:
         metrics = jax.tree.map(lambda m: m / n_mb, metrics)
 
         policy_grads, value_grads = grads
+        if cfg.measure_gradient_noise:
+            metrics["policy_grad_flat"] = jnp.concatenate(
+                [g.reshape(-1) for g in jax.tree.leaves(policy_grads)])
         new_state = dict(train_state)
         if train_policy:
             updates, new_state["policy_opt"] = self.policy_optimizer.update(
@@ -180,6 +190,9 @@ class PPOLearner:
                                    "values", "advantages")}
                 train_state, metrics = self._train_batch(train_state, batch)
                 num_iterations += 1
+                grad_flat = metrics.pop("policy_grad_flat", None)
+                if grad_flat is not None and self.grad_noise_tracker:
+                    self.grad_noise_tracker.update(grad_flat)
                 metrics = {k: float(v) for k, v in metrics.items()}
                 if metrics_sum is None:
                     metrics_sum = metrics
@@ -203,6 +216,9 @@ class PPOLearner:
             "Value Function Update Magnitude": float(_params_vector_norm_diff(
                 critic_before, train_state["value"])),
         }
+        if self.grad_noise_tracker is not None:
+            report["Gradient Noise Scale"] = \
+                self.grad_noise_tracker.last_noise_scale
         return train_state, report
 
     def update_learning_rates(self, train_state, policy_lr, critic_lr):

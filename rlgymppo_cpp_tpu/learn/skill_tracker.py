@@ -1,0 +1,240 @@
+"""ELO self-play skill evaluation.
+
+TPU-native re-design of the reference's SkillTracker
+(src/private/RLGymPPO_CPP/Util/SkillTracker.{h,cpp}): instead of fanning
+eval games across threads, all eval arenas advance in one jitted lax.scan.
+Each env plays the current policy against a randomly-chosen old version
+with randomized team assignment (team_swap, SkillTracker.h:15-28); old
+versions are cheap param-pytree snapshots stacked on a leading axis so each
+env can gather its opponent's weights inside the scan. Goal events are
+returned per (step, env) and replayed on the host in order for the
+sequential per-goal ELO update (UpdateRatings, SkillTracker.cpp:72-85),
+preserving the reference's rating dynamics exactly.
+
+Eval semantics preserved (SkillTracker.cpp:87-257):
+- deterministic actions for both policies;
+- DummyReward + optional kickoff-only state setter;
+- sim budget of `sim_time` seconds split across envs;
+- snapshot current policy + rating every `timesteps_per_version`,
+  keeping at most `max_versions`;
+- ratings per mode name ("1v1", "2v2", "1v0"...).
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rlgymppo_cpp_tpu.gym.gym import Gym, Match
+from rlgymppo_cpp_tpu.gym.rewards import RewardFunction
+from rlgymppo_cpp_tpu.gym.state_setters import KickoffState
+from rlgymppo_cpp_tpu.learn.config import SkillTrackerConfig
+
+
+class DummyReward(RewardFunction):
+    """Zero reward for eval games (SkillTracker.cpp:11-15)."""
+
+    def compute(self, gs, prev_actions, final, carry):
+        return jnp.zeros(gs.car_pos.shape[:-1], jnp.float32), carry
+
+
+def mode_name(match: Match) -> str:
+    """ModeNameFromGameInst (SkillTracker.cpp:19-25)."""
+    if match.spawn_opponents:
+        return f"{match.team_size}v{match.team_size}"
+    return f"{match.team_size}v0"
+
+
+class SkillTracker:
+    def __init__(self, config: SkillTrackerConfig, train_match: Match,
+                 policy, tick_skip=8, game_mode=None, car_config=None,
+                 render_sender=None, rng=None):
+        self.config = config
+        self.policy = policy
+        self.render_sender = render_sender
+        self.rng = rng or np.random.default_rng(0)
+
+        eval_match = Match(
+            reward_fn=DummyReward(),
+            terminal_conditions=train_match.terminal_conditions,
+            obs_builder=train_match.obs_builder,
+            action_parser=train_match.action_parser,
+            state_setter=KickoffState() if config.kickoff_only
+            else train_match.state_setter,
+            team_size=train_match.team_size,
+            spawn_opponents=train_match.spawn_opponents,
+        )
+        gym_kwargs = {}
+        if game_mode is not None:
+            gym_kwargs["game_mode"] = game_mode
+        if car_config is not None:
+            gym_kwargs["car_config"] = car_config
+        self.gym = Gym(eval_match, num_envs=config.num_envs,
+                       tick_skip=tick_skip, **gym_kwargs)
+        self.mode = mode_name(eval_match)
+
+        self.cur_rating = {self.mode: config.starting_rating}
+        self.old_params = []          # list of param pytrees
+        self.old_ratings = []         # list of {mode: rating}
+        self.timesteps_since_version = 0
+        self.run_counter = 0
+
+        self._gym_state = None
+        self._obs = None
+        self._key = jax.random.PRNGKey(int(self.rng.integers(1 << 30)))
+
+    # -------------------------------------------------------------- ELO math
+
+    def _update_ratings(self, winner: dict, loser: dict):
+        """Per-goal ELO with K = rating_inc (SkillTracker.cpp:72-85)."""
+        k = self.config.rating_inc
+        exp_delta = (loser[self.mode] - winner[self.mode]) / 400.0
+        expected = 1.0 / (10.0 ** exp_delta + 1.0)
+        winner[self.mode] += k * (1.0 - expected)
+        loser[self.mode] += k * (expected - 1.0)
+
+    # ------------------------------------------------------------ eval scan
+
+    @functools.partial(jax.jit, static_argnames=("self", "num_steps"))
+    def _eval_rollout(self, cur_params, old_stack, gym_state, obs,
+                      team_swap, old_idx, key, num_steps):
+        """Lockstep eval of all envs for num_steps.
+
+        old_stack: param pytree with leading [V] axis. team_swap [N] bool:
+        True -> old policy plays blue. Returns per-step goal records.
+        """
+        gym = self.gym
+        N, P, O = gym.num_envs, gym.num_players, gym.obs_size
+        teams = jnp.asarray(gym.match.teams)          # [P]
+
+        def body(carry, _):
+            gym_state, obs, team_swap, old_idx, key = carry
+            key, k_step, k_reset = jax.random.split(key, 3)
+
+            flat_obs = obs.reshape(N * P, O)
+            cur_act, _ = self.policy.get_action(
+                cur_params, flat_obs, None, deterministic=True)
+            per_env_old = jax.tree.map(lambda x: x[old_idx], old_stack)
+            old_act, _ = jax.vmap(
+                lambda p, o: self.policy.get_action(
+                    p, o, None, deterministic=True)[0]
+            )(per_env_old, obs)                        # [N, P]
+            cur_act = cur_act.reshape(N, P)
+
+            # old plays blue when team_swap; player is blue when teams==0
+            is_blue = (teams == 0)[None, :]            # [1, P]
+            use_old = jnp.where(team_swap[:, None], is_blue, ~is_blue)
+            actions = jnp.where(use_old, old_act, cur_act)
+
+            gym_state, obs, _, done, info = gym.step(
+                gym_state, actions, k_step)
+
+            scored = info["scored"]
+            ball_y = info["game_state"].ball_pos[..., 1]
+            blue_scored = ball_y > 0
+            # scoringPolicy == cur iff (blue scored) != (old plays blue)
+            cur_scored = blue_scored ^ team_swap
+
+            rec = {"scored": scored, "cur_scored": cur_scored,
+                   "old_idx": old_idx}
+
+            # game.Reset on done: new random swap + opponent version
+            V = jax.tree.leaves(old_stack)[0].shape[0]
+            k_swap, k_old = jax.random.split(k_reset)
+            new_swap = jax.random.bernoulli(k_swap, shape=(N,))
+            new_old = jax.random.randint(k_old, (N,), 0, V)
+            team_swap2 = jnp.where(done, new_swap, team_swap)
+            old_idx2 = jnp.where(done, new_old, old_idx)
+            return (gym_state, obs, team_swap2, old_idx2, key), rec
+
+        (gym_state, obs, team_swap, old_idx, key), recs = jax.lax.scan(
+            body, (gym_state, obs, team_swap, old_idx, key), None,
+            length=num_steps)
+        return gym_state, obs, team_swap, old_idx, recs
+
+    # ------------------------------------------------------------- run games
+
+    def run_games(self, cur_params, timesteps_delta: int):
+        """SkillTracker::RunGames (SkillTracker.cpp:165-257). Mutates
+        ratings; returns the current rating dict."""
+        cfg = self.config
+        if self.run_counter % cfg.games_per_update != 0:
+            self.run_counter += 1
+            self._advance_version(cur_params, timesteps_delta)
+            return self.cur_rating
+        self.run_counter += 1
+
+        if not self.old_params:
+            self.old_params.append(jax.tree.map(jnp.copy, cur_params))
+            self.old_ratings.append(dict(self.cur_rating))
+
+        gym = self.gym
+        N = gym.num_envs
+        # simTime split over games; lockstep => steps per env
+        num_steps = max(1, int(
+            cfg.max_eval_seconds * 120 / gym.tick_skip / N))
+
+        if self._gym_state is None:
+            self._key, sub = jax.random.split(self._key)
+            self._gym_state, self._obs = gym.reset(sub)
+            self._key, k1, k2 = jax.random.split(self._key, 3)
+            self._team_swap = jax.random.bernoulli(k1, shape=(N,))
+            self._old_idx = jnp.zeros((N,), jnp.int32)
+
+        old_stack = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *self.old_params)
+        self._old_idx = jnp.minimum(self._old_idx, len(self.old_params) - 1)
+
+        self._key, sub = jax.random.split(self._key)
+        self._gym_state, self._obs, self._team_swap, self._old_idx, recs = \
+            self._eval_rollout(cur_params, old_stack, self._gym_state,
+                               self._obs, self._team_swap, self._old_idx,
+                               sub, num_steps)
+
+        scored = np.asarray(recs["scored"])          # [T, N]
+        cur_scored = np.asarray(recs["cur_scored"])
+        old_idx = np.asarray(recs["old_idx"])
+        for t, n in zip(*np.nonzero(scored)):
+            rating_old = self.old_ratings[old_idx[t, n]]
+            if cur_scored[t, n]:
+                self._update_ratings(self.cur_rating, rating_old)
+            else:
+                self._update_ratings(rating_old, self.cur_rating)
+
+        self._advance_version(cur_params, timesteps_delta)
+        return self.cur_rating
+
+    def _advance_version(self, cur_params, timesteps_delta):
+        cfg = self.config
+        self.timesteps_since_version += timesteps_delta
+        if self.timesteps_since_version >= cfg.timesteps_per_version:
+            self.timesteps_since_version = 0
+            self._gym_state = None    # reset all eval games
+            self.old_params.append(jax.tree.map(jnp.copy, cur_params))
+            self.old_ratings.append(dict(self.cur_rating))
+            if len(self.old_params) > cfg.max_versions:
+                self.old_params.pop(0)
+                self.old_ratings.pop(0)
+
+    # ------------------------------------------------------------ checkpoint
+
+    def state_dict(self):
+        return {
+            "cur_rating": dict(self.cur_rating),
+            "old_ratings": [dict(r) for r in self.old_ratings],
+            "timesteps_since_version": int(self.timesteps_since_version),
+            "run_counter": int(self.run_counter),
+        }
+
+    def load_state_dict(self, d, old_params=None):
+        self.cur_rating = dict(d.get("cur_rating", self.cur_rating))
+        self.old_ratings = [dict(r) for r in d.get("old_ratings", [])]
+        self.timesteps_since_version = d.get("timesteps_since_version", 0)
+        self.run_counter = d.get("run_counter", 0)
+        if old_params is not None:
+            self.old_params = list(old_params)
+        if len(self.old_ratings) != len(self.old_params):
+            n = min(len(self.old_ratings), len(self.old_params))
+            self.old_ratings = self.old_ratings[:n] or [
+                dict(self.cur_rating)] * len(self.old_params)

@@ -156,6 +156,80 @@ def make_soccar_geom() -> ArenaGeom:
     return ArenaGeom(normals, offsets, rmin, rmax)
 
 
+def make_hoops_geom() -> ArenaGeom:
+    """Hoops arena as bounded planes.
+
+    Real hoops arena collision is a mesh (RocketSim loads hoops .cmf files,
+    RocketSim.cpp:29-36); approximations here: sharp floor/wall edges, 45°
+    corner wedges, and the basket nets as square boxes around the hoop
+    footprint of Arena::IsBallScored (center |y| = 2770/0.9 ≈ 3077.8,
+    radius 716, rim height ~365 per IsBallProbablyGoingIn's
+    APPROX_RIM_HEIGHT, Arena.cpp:866-869). Each net wall is a pair of
+    region-gated one-sided planes so balls bounce off the outside while
+    balls that drop in are contained until they fall below the scoring
+    threshold.
+    """
+    s = np.sqrt(0.5)
+    ex, ey, ez = C.ARENA_EXTENT_X_HOOPS, C.ARENA_EXTENT_Y_HOOPS, \
+        C.ARENA_HEIGHT_HOOPS
+    rim_h = 365.0
+    hoop_r = 716.0
+    hoop_cy = 2770.0 / 0.9
+    corner = ex + ey - 1152.0     # same wedge inset as soccar's 8064
+
+    planes = [
+        _plane((0, 0, 1), 0.0),                      # floor
+        _plane((0, 0, -1), -ez),                     # ceiling
+        _plane((-1, 0, 0), -ex),                     # side walls
+        _plane((1, 0, 0), -ex),
+        _plane((0, -1, 0), -ey),                     # back walls
+        _plane((0, 1, 0), -ey),
+        # 45-degree corner wedges
+        _plane((-s, -s, 0), -corner * s),
+        _plane((s, -s, 0), -corner * s),
+        _plane((-s, s, 0), -corner * s),
+        _plane((s, s, 0), -corner * s),
+    ]
+    for sign in (1.0, -1.0):
+        y_front = hoop_cy - hoop_r                   # |y| of the net face
+        # Region helpers in |y| terms, mirrored by sign
+        def yr(lo, hi):
+            return (lo * sign, hi * sign) if sign > 0 else \
+                (hi * sign, lo * sign)
+
+        # Net front wall (|y| = y_front):
+        # outside face — pushes arena-side bodies (|y| < y_front) away
+        lo, hi = yr(y_front - 200, y_front)
+        planes.append(_plane((0, -sign, 0), -y_front,
+                             rmin=(-hoop_r, lo, 0),
+                             rmax=(hoop_r, hi, rim_h)))
+        # inside face — contains dropped-in balls (|y| > y_front)
+        lo, hi = yr(y_front, ey)
+        planes.append(_plane((0, sign, 0), y_front,
+                             rmin=(-hoop_r, lo, 0),
+                             rmax=(hoop_r, hi, rim_h)))
+        # Net side walls at x = +/- hoop_r over the basket's y span:
+        lo, hi = yr(y_front, ey)
+        # inside faces (|x| < hoop_r)
+        planes.append(_plane((-1, 0, 0), -hoop_r,
+                             rmin=(0, lo, 0), rmax=(hoop_r, hi, rim_h)))
+        planes.append(_plane((1, 0, 0), -hoop_r,
+                             rmin=(-hoop_r, lo, 0), rmax=(0, hi, rim_h)))
+        # outside faces (|x| > hoop_r)
+        planes.append(_plane((1, 0, 0), hoop_r,
+                             rmin=(hoop_r, lo, 0),
+                             rmax=(hoop_r + 200, hi, rim_h)))
+        planes.append(_plane((-1, 0, 0), hoop_r,
+                             rmin=(-hoop_r - 200, lo, 0),
+                             rmax=(-hoop_r, hi, rim_h)))
+
+    normals = np.stack([p[0] for p in planes]).astype(np.float32)
+    offsets = np.array([p[1] for p in planes], dtype=np.float32)
+    rmin = np.stack([p[2] for p in planes]).astype(np.float32)
+    rmax = np.stack([p[3] for p in planes]).astype(np.float32)
+    return ArenaGeom(normals, offsets, rmin, rmax)
+
+
 def make_void_geom() -> ArenaGeom:
     """THE_VOID: no static world at all (Arena.cpp:509-515)."""
     normals = np.zeros((1, 3), dtype=np.float32)
@@ -169,6 +243,8 @@ def make_void_geom() -> ArenaGeom:
 def make_geom(game_mode: GameMode) -> ArenaGeom:
     if game_mode in (GameMode.SOCCAR, GameMode.HEATSEEKER, GameMode.SNOWDAY):
         return make_soccar_geom()
+    if game_mode == GameMode.HOOPS:
+        return make_hoops_geom()
     if game_mode == GameMode.THE_VOID:
         return make_void_geom()
     raise NotImplementedError(f"geometry for {game_mode!r} not implemented yet")

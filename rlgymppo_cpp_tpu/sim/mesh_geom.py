@@ -1,0 +1,114 @@
+"""Mesh-derived arena geometry: dense SDF grid sampled on-device.
+
+The TPU-friendly replacement for bullet's btBvhTriangleMeshShape +
+internal-edge fixup (RocketSim.cpp:165-170): the native pipeline
+(sim/mesh_loader.py -> native/cmf_loader.cpp) bakes the arena triangle
+soup into a distance + push-direction grid once on the host; queries are
+then pure gathers + trilinear interpolation, identical cost for 1 or
+10,000 arenas under vmap.
+
+API-compatible with ArenaGeom (sphere_contact / raycast / signed_distances
+callers), so `Arena(geom=...)`-style swapping needs no caller changes.
+Raycasts sphere-trace the grid with a fixed iteration count (branchless,
+scan-friendly), mirroring how most suspension rays short-circuit to cheap
+analytic queries in the reference (SuspensionCollisionGrid.cpp:124-183).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+INF = 1e30
+
+
+class MeshGeom:
+    """Distance-grid world. Static arrays; hashable by id; jit-friendly."""
+
+    RAY_STEPS = 12
+
+    def __init__(self, dist, dirs, bounds_min, cell):
+        self.dist = jnp.asarray(dist, jnp.float32)          # [X, Y, Z]
+        self.dirs = jnp.asarray(dirs, jnp.float32)          # [X, Y, Z, 3]
+        self.bounds_min = jnp.asarray(bounds_min, jnp.float32)
+        self.cell = jnp.asarray(cell, jnp.float32)
+        self.dims = self.dist.shape
+        self.band = float(np.asarray(dist).max())
+
+    @classmethod
+    def from_cmf(cls, paths, bounds_min, bounds_max, dims=(128, 160, 64),
+                 band=300.0):
+        """Bake one grid from one or more .cmf files (a game mode's arena
+        is split across several meshes, RocketSim.cpp:118-148)."""
+        from rlgymppo_cpp_tpu.sim.mesh_loader import load_cmf, bake_sdf
+        all_tris, all_verts = [], []
+        off = 0
+        for p in paths:
+            tris, verts, _ = load_cmf(p)
+            all_tris.append(tris + off)
+            all_verts.append(verts)
+            off += verts.shape[0]
+        tris = np.concatenate(all_tris)
+        verts = np.concatenate(all_verts)
+        dist, dirs, bmin, cell = bake_sdf(
+            tris, verts, bounds_min, bounds_max, dims, band)
+        return cls(dist, dirs, bmin, cell)
+
+    # ------------------------------------------------------------- sampling
+
+    def _sample(self, pos):
+        """Trilinear distance + nearest-cell direction at pos [..., 3].
+        Out-of-grid positions clamp to the border (distances there are
+        `band`, i.e. no contact)."""
+        f = (pos - self.bounds_min) / self.cell
+        f = jnp.clip(f, 0.0, jnp.asarray(
+            [d - 1.001 for d in self.dims], jnp.float32))
+        i0 = jnp.floor(f).astype(jnp.int32)
+        t = f - i0
+
+        def gather(offset):
+            idx = i0 + jnp.asarray(offset, jnp.int32)
+            return self.dist[idx[..., 0], idx[..., 1], idx[..., 2]]
+
+        d = 0.0
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    w = (jnp.where(dx, t[..., 0], 1 - t[..., 0])
+                         * jnp.where(dy, t[..., 1], 1 - t[..., 1])
+                         * jnp.where(dz, t[..., 2], 1 - t[..., 2]))
+                    d = d + w * gather((dx, dy, dz))
+
+        # Direction from the nearest cell (cheap; unit-ish is fine for a
+        # contact normal; re-normalized with an epsilon guard)
+        ni = jnp.round(f).astype(jnp.int32)
+        n = self.dirs[ni[..., 0], ni[..., 1], ni[..., 2]]
+        norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+        n = jnp.where(norm > 1e-6, n / jnp.maximum(norm, 1e-6),
+                      jnp.asarray([0.0, 0.0, 1.0]))
+        return d, n
+
+    # ----------------------------------------------------------- geom API
+
+    def sphere_contact(self, pos, radius):
+        """(depth, normal): depth > 0 means the sphere penetrates."""
+        d, n = self._sample(pos)
+        return radius - d, n
+
+    def signed_distances(self, pos):
+        """[..., 1] distance (band = no contact), for API parity."""
+        d, _ = self._sample(pos)
+        return d[..., None]
+
+    def raycast(self, start, direction, max_len):
+        """Sphere-trace the distance field: fixed RAY_STEPS iterations.
+
+        Returns (hit [...], t [...], normal [..., 3]).
+        """
+        t = jnp.zeros(start.shape[:-1], jnp.float32)
+        for _ in range(self.RAY_STEPS):
+            p = start + direction * t[..., None]
+            d, _ = self._sample(p)
+            t = jnp.minimum(t + jnp.maximum(d, 0.0), max_len)
+        p = start + direction * t[..., None]
+        d, n = self._sample(p)
+        hit = (d < 6.0) & (t < max_len)
+        return hit, jnp.where(hit, t, max_len), n

@@ -45,6 +45,27 @@ def save_checkpoint(folder, timesteps, train_state, running_stats: dict,
     return path
 
 
+def save_extra_tree(path, name, tree):
+    """Save an auxiliary pytree (e.g. a SkillTracker policy snapshot) next
+    to the main TRAIN_STATE (Learner.cpp saves SkillTracker versions via
+    historical checkpoints; we store them directly)."""
+    flat = jax.tree.leaves(tree)
+    np.savez(os.path.join(path, f"{name}.npz"),
+             **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)})
+
+
+def load_extra_tree(path, name, template):
+    """Load an auxiliary pytree saved by save_extra_tree; returns None if
+    absent."""
+    fpath = os.path.join(path, f"{name}.npz")
+    if not os.path.exists(fpath):
+        return None
+    flat_t, treedef = jax.tree.flatten(template)
+    data = np.load(fpath)
+    flat = [data[f"leaf_{i}"] for i in range(len(flat_t))]
+    return jax.tree.unflatten(treedef, flat)
+
+
 def find_newest_checkpoint(folder):
     """Highest-numbered subfolder or None (Learner.cpp:285-308)."""
     if not folder or not os.path.isdir(folder):

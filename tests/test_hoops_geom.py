@@ -1,0 +1,53 @@
+"""Hoops arena geometry + goal detection (Arena.cpp hoops paths)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rlgymppo_cpp_tpu.sim.arena import Arena
+from rlgymppo_cpp_tpu.sim.arena_geom import make_hoops_geom
+from rlgymppo_cpp_tpu.sim.constants import GameMode
+from rlgymppo_cpp_tpu.sim import constants as C
+
+
+def test_hoops_geom_contacts():
+    g = make_hoops_geom()
+    r = 96.3831   # hoops ball radius
+
+    # Resting on the floor mid-field
+    depth, n = g.sphere_contact(jnp.asarray([[0.0, 0.0, r - 5]]), r)
+    assert float(depth[0]) > 0 and float(n[0, 2]) > 0.9
+
+    # Free air
+    depth, _ = g.sphere_contact(jnp.asarray([[0.0, 0.0, 800.0]]), r)
+    assert float(depth[0]) < 0
+
+    # Inside the +y basket at low z: contained by the net's inside face
+    # (pushed +y, away from the arena) when pressing against it
+    y_front = 2770.0 / 0.9 - 716.0
+    depth, n = g.sphere_contact(
+        jnp.asarray([[0.0, y_front + 50.0, 100.0]]), r)
+    assert float(depth[0]) > 0
+    assert float(n[0, 1]) > 0.9
+
+    # Arena side of the net front wall: pushed -y (bounces off the net)
+    depth, n = g.sphere_contact(
+        jnp.asarray([[0.0, y_front - 50.0, 100.0]]), r)
+    assert float(depth[0]) > 0
+    assert float(n[0, 1]) < -0.9
+
+    # Above rim height the net has no collision
+    depth, _ = g.sphere_contact(
+        jnp.asarray([[0.0, y_front + 1.0, 600.0]]), r)
+    assert float(depth[0]) < 0
+
+
+def test_hoops_arena_scoring():
+    arena = Arena(game_mode=GameMode.HOOPS, teams=(0, 1))
+    # Ball settled inside the hoop below the threshold -> scored
+    pos = jnp.asarray([[0.0, 2770.0 / 0.9, 100.0]])
+    assert bool(arena.is_ball_scored(pos)[0])
+    # Mid-field is not a goal
+    assert not bool(arena.is_ball_scored(jnp.asarray([[0.0, 0.0, 100.0]]))[0])
+    # Above threshold z: not yet scored
+    high = jnp.asarray([[0.0, 2770.0 / 0.9, 500.0]])
+    assert not bool(arena.is_ball_scored(high)[0])

@@ -1,0 +1,82 @@
+"""SkillTracker ELO math + eval rollout smoke (SkillTracker.cpp semantics)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rlgymppo_cpp_tpu.gym import (
+    Match, DiscreteAction, DefaultOBS, VelocityPlayerToBallReward,
+    NoTouchCondition, GoalScoreCondition, RandomState,
+)
+from rlgymppo_cpp_tpu.learn.config import SkillTrackerConfig
+from rlgymppo_cpp_tpu.learn.skill_tracker import SkillTracker, mode_name
+from rlgymppo_cpp_tpu.models.discrete_policy import DiscretePolicy
+
+
+def make_match():
+    return Match(
+        reward_fn=VelocityPlayerToBallReward(),
+        terminal_conditions=[NoTouchCondition(10), GoalScoreCondition()],
+        obs_builder=DefaultOBS(),
+        action_parser=DiscreteAction(),
+        state_setter=RandomState(False, False, False),
+        team_size=1, spawn_opponents=True,
+    )
+
+
+def test_mode_name():
+    m = make_match()
+    assert mode_name(m) == "1v1"
+
+
+def test_elo_update_math():
+    """UpdateRatings (SkillTracker.cpp:72-85) against a hand computation."""
+    match = make_match()
+    policy = DiscretePolicy(89, 90, (16,))
+    cfg = SkillTrackerConfig(enabled=True, num_envs=2, rating_inc=10.0,
+                             starting_rating=1000.0)
+    tr = SkillTracker(cfg, match, policy)
+    tr.cur_rating = {"1v1": 1000.0}
+    loser = {"1v1": 1000.0}
+    tr._update_ratings(tr.cur_rating, loser)
+    # Equal ratings: expected = 0.5, so +/- K/2
+    assert abs(tr.cur_rating["1v1"] - 1005.0) < 1e-4
+    assert abs(loser["1v1"] - 995.0) < 1e-4
+
+    # Stronger winner gains less
+    w, l = {"1v1": 1400.0}, {"1v1": 1000.0}
+    tr.cur_rating = w
+    tr._update_ratings(w, l)
+    exp = 1 / (10 ** ((1000 - 1400) / 400) + 1)
+    assert abs(w["1v1"] - (1400 + 10 * (1 - exp))) < 1e-3
+
+
+def test_run_games_smoke():
+    """Full eval rollout: versions snapshot, ratings dict returned."""
+    match = make_match()
+    policy = DiscretePolicy(89, 90, (16,))
+    params = policy.init(jax.random.PRNGKey(0))
+    cfg = SkillTrackerConfig(
+        enabled=True, num_envs=2, max_eval_seconds=2.0,
+        timesteps_per_version=100, max_versions=2, rating_inc=5.0,
+        starting_rating=1000.0, kickoff_only=True)
+    tr = SkillTracker(cfg, match, policy)
+    assert tr.gym.obs_size == 89
+
+    ratings = tr.run_games(params, timesteps_delta=60)
+    assert "1v1" in ratings
+    assert len(tr.old_params) == 1      # start_with_version behavior
+
+    # Crossing timesteps_per_version snapshots another version
+    ratings = tr.run_games(params, timesteps_delta=60)
+    assert len(tr.old_params) == 2
+    # maxVersions cap
+    tr.run_games(params, timesteps_delta=200)
+    assert len(tr.old_params) == 2
+
+    # state_dict round trip
+    sd = tr.state_dict()
+    tr2 = SkillTracker(cfg, match, policy)
+    tr2.load_state_dict(sd, old_params=tr.old_params)
+    assert tr2.cur_rating == tr.cur_rating
+    assert len(tr2.old_params) == 2
