@@ -26,7 +26,7 @@ def main():
     from __graft_entry__ import _make_match
 
     platform = jax.devices()[0].platform
-    num_envs = 4096 if platform == "tpu" else 64
+    num_envs = 8192 if platform == "tpu" else 64
     horizon = 32
 
     match = _make_match(team_size=1, spawn_opponents=True)

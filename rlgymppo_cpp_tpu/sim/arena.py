@@ -22,20 +22,21 @@ import jax.numpy as jnp
 
 from rlgymppo_cpp_tpu.maths.vec import norm_sq
 from rlgymppo_cpp_tpu.maths.rot import euler_to_rotmat
+from rlgymppo_cpp_tpu.maths.v3 import V3, M3, vwhere, mwhere, from_core
 from rlgymppo_cpp_tpu.sim import constants as C
 from rlgymppo_cpp_tpu.sim import rigidbody as rb
-from rlgymppo_cpp_tpu.sim import collisions as col
 from rlgymppo_cpp_tpu.sim import boost_pads as bp
+from rlgymppo_cpp_tpu.sim import core_rb
+from rlgymppo_cpp_tpu.sim import core_ball
+from rlgymppo_cpp_tpu.sim import core_car
+from rlgymppo_cpp_tpu.sim import core_collisions as core_col
+from rlgymppo_cpp_tpu.sim import core_pads
 from rlgymppo_cpp_tpu.sim.arena_geom import make_geom
-from rlgymppo_cpp_tpu.sim.ball import (
-    ball_pre_tick, ball_world_contact, ball_on_world_collision,
-    ball_finish_tick,
-)
-from rlgymppo_cpp_tpu.sim.car import (
-    car_pre_tick, car_post_tick, car_finish_tick,
-)
 from rlgymppo_cpp_tpu.sim.car_config import CarConfig, CAR_CONFIG_OCTANE
 from rlgymppo_cpp_tpu.sim.constants import GameMode
+from rlgymppo_cpp_tpu.sim.core_state import (
+    arena_state_to_core, arena_state_from_core, controls_to_core,
+)
 from rlgymppo_cpp_tpu.sim.mutators import MutatorConfig
 from rlgymppo_cpp_tpu.sim.state import (
     ArenaState, BallState, CarState, PadState, WheelsState, CarControls,
@@ -75,7 +76,7 @@ class Arena:
         self.num_pads = int(self.pad_pos.shape[0])
 
         half = np.asarray(car_config.hitbox_size, np.float32) / 2 \
-            + col.BOX_MARGIN
+            + core_col.BOX_MARGIN
         self.hitbox_half = jnp.asarray(half)
         self.hitbox_offset = jnp.asarray(car_config.hitbox_pos_offset,
                                          jnp.float32)
@@ -93,6 +94,26 @@ class Arena:
             "dt": self.tick_time,
         }
         self.gravity = jnp.asarray(self.mut.gravity, jnp.float32)
+
+        # ---- env-last core static config (see maths/v3.py) ----
+        self.core_wheel_cfg = core_car.make_core_wheel_cfg(self.wheels_cfg)
+        self.hitbox_half_t = tuple(float(h) for h in np.asarray(half))
+        self.hitbox_offset_t = tuple(
+            float(o) for o in np.asarray(car_config.hitbox_pos_offset))
+        self.ii_diag = self.core_wheel_cfg["ii_diag"]
+        if self.num_pads:
+            self.core_pad_cfg = core_pads.make_core_pad_cfg(
+                self.pad_pos, self.pad_is_big)
+        else:
+            self.core_pad_cfg = None
+        g = np.asarray(self.mut.gravity, np.float32)
+        self.gravity_v3 = V3.of(g[0], g[1], g[2])
+        tbl = np.asarray(
+            C.CAR_RESPAWN_LOCATIONS_HOOPS if game_mode == GameMode.HOOPS
+            else C.CAR_RESPAWN_LOCATIONS_SOCCAR, np.float32)
+        self.respawn_tbl_x = jnp.asarray(tbl[:, 0])
+        self.respawn_tbl_y = jnp.asarray(tbl[:, 1])
+        self.respawn_tbl_yaw = jnp.asarray(tbl[:, 2])
 
     # ------------------------------------------------------------------ state
 
@@ -197,87 +218,95 @@ class Arena:
 
     # ------------------------------------------------------------------- tick
 
-    def tick(self, state: ArenaState, controls: CarControls, key):
-        """One 1/120s physics tick. Returns (state', events).
-
-        events: bump [.., P] count, demo [.., P] count, demoed [.., P],
-        pickup [.., P] count — accumulated by `step` over a tick-skip.
-        """
+    def _tick_core(self, core, controls, key):
+        """One 1/120s tick on the env-last core layout. Returns
+        (core', events) with per-player event arrays shaped [P, N]."""
         dt = self.tick_time
         mut = self.mut
         geom = self.geom
+        P = self.num_players
         teams = jnp.asarray(self.teams)
-        cars, ball, pads, wheels = state.cars, state.ball, state.pads, \
-            state.wheels
+        cars, ball, pads, wheels = core.cars, core.ball, core.pads, \
+            core.wheels
+        N = cars.boost.shape[-1]
+        zero3 = V3.of(0.0, 0.0, 0.0)
 
         # Ball zero-velocity sleeping (Arena.cpp:721-727)
-        sleeping = (norm_sq(ball.vel) == 0.0) & (norm_sq(ball.ang_vel) == 0.0)
+        sleeping = (ball.vel.norm_sq() == 0.0) & (ball.ang_vel.norm_sq() == 0.0)
 
-        # Respawn placement for any cars whose demo timer expires this tick
+        # Respawn placement for cars whose demo timer expires this tick
         key, krespawn = jax.random.split(key)
-        respawn_tbl = jnp.asarray(
-            C.CAR_RESPAWN_LOCATIONS_HOOPS if self.game_mode == GameMode.HOOPS
-            else C.CAR_RESPAWN_LOCATIONS_SOCCAR)
-        ridx = jax.random.randint(
-            krespawn, cars.boost.shape, 0, C.CAR_RESPAWN_LOCATION_AMOUNT)
-        rspawn = respawn_tbl[ridx]
-        team_sign = jnp.where(teams == 0, 1.0, -1.0)
-        rpos = jnp.stack([
-            rspawn[..., 0],
-            rspawn[..., 1] * team_sign,
-            jnp.full_like(rspawn[..., 0], C.CAR_RESPAWN_Z)], axis=-1)
-        ryaw = rspawn[..., 2] + jnp.where(teams == 0, 0.0, jnp.pi)
-        rrot = euler_to_rotmat(ryaw, jnp.zeros_like(ryaw), jnp.zeros_like(ryaw))
+        L = C.CAR_RESPAWN_LOCATION_AMOUNT
+        ridx = jax.random.randint(krespawn, (P, N), 0, L)
+        team_sign = jnp.where(teams == 0, 1.0, -1.0)[:, None]
+        # select-chain over the tiny static spawn table (no gathers)
+        tbl = np.asarray(
+            C.CAR_RESPAWN_LOCATIONS_HOOPS
+            if self.game_mode == GameMode.HOOPS
+            else C.CAR_RESPAWN_LOCATIONS_SOCCAR, np.float32)
+        rx = jnp.zeros((P, N))
+        ry0 = jnp.zeros((P, N))
+        ryaw0 = jnp.zeros((P, N))
+        for li in range(L):
+            m = ridx == li
+            rx = jnp.where(m, float(tbl[li, 0]), rx)
+            ry0 = jnp.where(m, float(tbl[li, 1]), ry0)
+            ryaw0 = jnp.where(m, float(tbl[li, 2]), ryaw0)
+        rpos = V3(rx, ry0 * team_sign, jnp.full((P, N), C.CAR_RESPAWN_Z))
+        ryaw = ryaw0 + jnp.where(teams == 0, 0.0, jnp.pi)[:, None]
+        cy, sy = jnp.cos(ryaw), jnp.sin(ryaw)
+        z = jnp.zeros_like(ryaw)
+        rrot = M3(V3(cy, sy, z), V3(-sy, cy, z),
+                  V3(z, z, jnp.ones_like(ryaw)))
 
         # --- car pre-tick: vehicle sim + control state machine ---
-        cars, wheels, car_accel, active = car_pre_tick(
-            cars, wheels, controls, geom, self.wheels_cfg, mut, dt,
+        cars, wheels, car_accel, active = core_car.car_pre_tick(
+            cars, wheels, controls, geom, self.core_wheel_cfg, mut, dt,
             (rpos, rrot))
 
         # --- pad + ball pre-tick ---
         if self.num_pads:
-            pads = bp.pads_pre_tick(pads, dt)
-        ball = ball_pre_tick(ball, self.game_mode, dt)
+            pads = core_pads.pads_pre_tick(pads, dt)
+        ball = core_ball.ball_pre_tick(ball, self.game_mode, dt)
 
         # --- gravity + accumulated forces + damping ---
-        cars = cars.replace(vel=cars.vel + jnp.where(
-            active[..., None], (self.gravity + car_accel) * dt, 0.0))
-        ball_vel = jnp.where(sleeping[..., None], ball.vel,
-                             ball.vel + self.gravity * dt)
+        cars = cars.replace(vel=cars.vel + vwhere(
+            active, (self.gravity_v3 + car_accel) * dt, zero3))
+        ball_vel = vwhere(sleeping, ball.vel,
+                          ball.vel + self.gravity_v3 * dt)
         damping = (1.0 - mut.ball_drag) ** dt
-        ball = ball.replace(vel=jnp.where(sleeping[..., None],
-                                          ball_vel, ball_vel * damping))
+        ball = ball.replace(vel=vwhere(sleeping, ball_vel,
+                                       ball_vel * damping))
 
         # --- contacts ---
-        cw_dvel, cw_dang, cw_hit, cw_normal = col.car_world_contacts(
-            cars, geom, mut, self.inv_inertia_diag, self.hitbox_half,
-            self.hitbox_offset, dt, active)
+        cw_dvel, cw_dang, cw_hit, cw_normal = core_col.car_world_contacts(
+            cars, geom, mut, self.ii_diag, self.hitbox_half_t,
+            self.hitbox_offset_t, dt, active)
 
-        cc = col.car_car_contacts(
-            cars, mut, self.inv_inertia_diag, self.hitbox_half,
-            self.hitbox_offset, dt, active, teams)
+        cc = core_col.car_car_contacts(
+            cars, mut, self.ii_diag, self.hitbox_half_t,
+            self.hitbox_offset_t, dt, active, teams)
 
         cb_car_dvel, cb_car_dang, cb_ball_dvel, cb_ball_dang, \
-            ball_cache, ball_hit, new_bhi = col.car_ball_contacts(
-                cars, ball, mut, self.game_mode, self.inv_inertia_diag,
-                self.hitbox_half, self.hitbox_offset, dt, active,
-                state.tick_count)
+            ball_cache, ball_hit, new_bhi = core_col.car_ball_contacts(
+                cars, ball, mut, self.game_mode, self.ii_diag,
+                self.hitbox_half_t, self.hitbox_offset_t, dt, active,
+                core.tick_count)
 
-        bw_dvel, bw_dang, bw_hit, bw_normal = ball_world_contact(
+        bw_dvel, bw_dang, bw_hit, bw_normal = core_ball.ball_world_contact(
             ball, geom, mut, dt, sleeping)
-        ball, bw_cache = ball_on_world_collision(
+        ball, bw_cache = core_ball.ball_on_world_collision(
             ball, bw_normal, bw_hit, self.game_mode, dt)
 
-        # Heatseeker Ball::_OnHit (Ball.cpp:203-215): any car touch retargets
+        # Heatseeker Ball::_OnHit (Ball.cpp:203-215)
         if self.game_mode == GameMode.HEATSEEKER:
             hs = ball.hs_info
-            any_hit = jnp.any(ball_hit, axis=-1)
-            # last hitter wins, like callback order
-            P = self.num_players
+            any_hit = jnp.any(ball_hit, axis=0)
             hitter = jnp.argmax(
-                jnp.where(ball_hit, jnp.arange(P), -1), axis=-1)
+                jnp.where(ball_hit, jnp.arange(P)[:, None], -1), axis=0)
             new_dir = jnp.where(teams[hitter] == 0, 1.0, -1.0)
-            can_increase = (hs.time_since_hit > C.Heatseeker.MIN_SPEEDUP_INTERVAL) \
+            can_increase = (hs.time_since_hit
+                            > C.Heatseeker.MIN_SPEEDUP_INTERVAL) \
                 | (hs.y_target_dir == 0)
             speed_up = any_hit & can_increase & (new_dir != hs.y_target_dir)
             ball = ball.replace(hs_info=hs.replace(
@@ -295,8 +324,8 @@ class Arena:
             vel=cars.vel + cw_dvel + cc["dvel"] + cb_car_dvel,
             ang_vel=cars.ang_vel + cw_dang + cc["dang"] + cb_car_dang,
             has_world_contact=cars.has_world_contact | cw_hit,
-            world_contact_normal=jnp.where(
-                cw_hit[..., None], cw_normal, cars.world_contact_normal),
+            world_contact_normal=vwhere(cw_hit, cw_normal,
+                                        cars.world_contact_normal),
             car_contact_other_idx=cc["bumper_other"],
             car_contact_cooldown_timer=cc["bumper_cooldown"],
             ball_hit_info=new_bhi,
@@ -306,74 +335,103 @@ class Arena:
             ang_vel=ball.ang_vel + cb_ball_dang + bw_dang)
 
         # Demos (Arena.cpp:390-391): victim j demoed if anyone demoed it
-        demoed_now = jnp.any(cc["demo"], axis=-2) & ~cars.is_demoed
+        demoed_now = jnp.any(cc["demo"], axis=0) & ~cars.is_demoed
         cars = cars.replace(
             is_demoed=cars.is_demoed | demoed_now,
             demo_respawn_timer=jnp.where(
                 demoed_now, mut.respawn_delay, cars.demo_respawn_timer))
 
         # --- integrate positions ---
+        new_rot = core_rb.integrate_rotation(cars.rot, cars.ang_vel, dt)
         cars = cars.replace(
-            pos=cars.pos + jnp.where(active[..., None], cars.vel * dt, 0.0),
-            rot=jnp.where(_expand(active, cars.rot),
-                          rb.integrate_rotation(cars.rot, cars.ang_vel, dt),
-                          cars.rot))
+            pos=cars.pos + vwhere(active, cars.vel * dt, zero3),
+            rot=mwhere(active, new_rot, cars.rot))
         ball = ball.replace(
-            pos=jnp.where(sleeping[..., None], ball.pos,
-                          ball.pos + ball.vel * dt))
-        # ball rotation is skipped (noBallRot optimization, Ball.cpp:107,
-        # ArenaConfig.h:33 defaults true)
+            pos=vwhere(sleeping, ball.pos, ball.pos + ball.vel * dt))
+        # ball rotation skipped (noBallRot optimization, Ball.cpp:107)
 
         # --- post tick ---
         post_active = active & ~cars.is_demoed
-        post = car_post_tick(cars, controls, dt)
+        post = core_car.car_post_tick(cars, controls, dt)
         post = jax.tree.map(
-            lambda new, old: jnp.where(_expand(post_active, new), new, old),
-            post, cars)
-        cars = car_finish_tick(post, cc["victim_impulse"], post_active)
+            lambda new, old: jnp.where(post_active, new, old), post, cars)
+        cars = core_car.car_finish_tick(post, cc["victim_impulse"],
+                                        post_active)
 
         pickups = jnp.zeros(cars.boost.shape, jnp.int32)
         if self.num_pads:
-            pads = bp.pads_check_collide(
-                pads, cars, post_active, self.pad_pos, self.pad_is_big,
+            pads = core_pads.pads_check_collide(
+                pads, cars, post_active, self.core_pad_cfg,
                 self.hitbox_half, self.hitbox_offset)
-            pads, new_boost, pickup_ev = bp.pads_post_tick(
-                pads, cars.boost, mut, self.pad_is_big)
+            pads, new_boost, pickups = core_pads.pads_post_tick(
+                pads, cars.boost, mut, self.core_pad_cfg)
             cars = cars.replace(boost=new_boost)
-            pickups = jnp.sum(pickup_ev, axis=-1).astype(jnp.int32)
 
-        ball = ball_finish_tick(ball, ball_cache + bw_cache, mut)
+        ball = core_ball.ball_finish_tick(ball, ball_cache + bw_cache, mut)
 
         events = {
             # bumps vs opponents only (Gym.cpp _BumpCallback skips same-team)
             "bump": jnp.sum(
-                (cc["bump"] & (teams[:, None] != teams[None, :])).astype(
-                    jnp.int32), axis=-1),
-            "demo": jnp.sum(cc["demo"].astype(jnp.int32), axis=-1),
+                (cc["bump"] & (teams[:, None, None] != teams[None, :, None])
+                 ).astype(jnp.int32), axis=1),
+            "demo": jnp.sum(cc["demo"].astype(jnp.int32), axis=1),
             "demoed": demoed_now,
             "pickup": pickups,
         }
-        state = ArenaState(ball=ball, cars=cars, wheels=wheels, pads=pads,
-                           tick_count=state.tick_count + 1)
-        return state, events
+        core = core.replace(ball=ball, cars=cars, wheels=wheels, pads=pads,
+                            tick_count=core.tick_count + 1)
+        return core, events
+
+    def tick(self, state: ArenaState, controls: CarControls, key):
+        """One 1/120s physics tick. Returns (state', events) in the public
+        [batch, P] layout (events: bump/demo counts, demoed, pickup)."""
+        state2, ev = self.step(state, controls, key, 1)
+        return state2, ev
 
     def step(self, state: ArenaState, controls: CarControls, key,
              num_ticks: int):
         """Arena::Step(n): n ticks under the same controls, accumulating
-        events. Unrolled statically (n is small, typically <= 8)."""
-        events_acc = None
-        for i in range(num_ticks):
-            key, sub = jax.random.split(key)
-            state, ev = self.tick(state, controls, sub)
-            if events_acc is None:
-                events_acc = ev
-            else:
-                events_acc = {
-                    k: (events_acc[k] | ev[k]) if ev[k].dtype == jnp.bool_
-                    else events_acc[k] + ev[k]
-                    for k in ev
+        events. The state converts to the env-last core layout once, all
+        ticks run there, and converts back — conversion cost is the logical
+        state size, negligible vs the tick math."""
+        batch_shape = state.batch_shape
+        bn = len(batch_shape)
+        core = arena_state_to_core(state)
+        cctrl = controls_to_core(controls, bn)
+
+        if num_ticks == 1:
+            core, events_acc = self._tick_core(core, cctrl, key)
+        else:
+            # lax.scan over ticks: one tick body in the compiled program
+            # instead of num_ticks copies (compile time matters; runtime
+            # difference is negligible)
+            keys = jax.random.split(key, num_ticks)
+
+            def body(carry, k):
+                c, acc = carry
+                c, ev = self._tick_core(c, cctrl, k)
+                acc = {
+                    kk: (acc[kk] | ev[kk]) if ev[kk].dtype == jnp.bool_
+                    else acc[kk] + ev[kk]
+                    for kk in ev
                 }
-        return state, events_acc
+                return (c, acc), None
+
+            P = self.num_players
+            N = core.tick_count.shape[-1]
+            zero_events = {
+                "bump": jnp.zeros((P, N), jnp.int32),
+                "demo": jnp.zeros((P, N), jnp.int32),
+                "demoed": jnp.zeros((P, N), bool),
+                "pickup": jnp.zeros((P, N), jnp.int32),
+            }
+            (core, events_acc), _ = jax.lax.scan(
+                body, (core, zero_events), keys)
+
+        state = arena_state_from_core(core, batch_shape)
+        events = {k: from_core(v, batch_shape)
+                  for k, v in events_acc.items()}
+        return state, events
 
     @functools.cached_property
     def tick_jit(self):

@@ -22,6 +22,8 @@ reference itself documents RocketSim as approximate):
   - goal interior is a plain box.
 """
 
+import functools
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -105,6 +107,95 @@ class ArenaGeom:
         hit = best_t < INF
         normal = self.normals[best]
         return hit, jnp.where(hit, best_t, max_len), normal
+
+
+    # ------------------------------------------------ env-last core queries
+    #
+    # Static python loops over the (small, constant) plane list: every
+    # iteration is a handful of fused elementwise select ops on fully
+    # lane-packed arrays. No [NP, ...] intermediates, no argmax+gather —
+    # gathers profiled as the hottest kernels of the tick on TPU. Region
+    # bounds that are infinite are skipped at trace time.
+
+    @functools.cached_property
+    def _np_planes(self):
+        import numpy as np
+        return (np.asarray(self.normals), np.asarray(self.offsets),
+                np.asarray(self.region_min), np.asarray(self.region_max))
+
+    def _region_mask(self, px, py, pz, rmin, rmax, pad=0.0):
+        import numpy as np
+        mask = None
+
+        def acc(m, cond):
+            return cond if m is None else (m & cond)
+
+        for comp, lo, hi in ((px, rmin[0], rmax[0]),
+                             (py, rmin[1], rmax[1]),
+                             (pz, rmin[2], rmax[2])):
+            if lo > -INF / 2:
+                mask = acc(mask, comp >= lo - pad)
+            if hi < INF / 2:
+                mask = acc(mask, comp <= hi + pad)
+        return mask
+
+    def sphere_contact_core(self, pos, radius):
+        """V3 of [...] -> (depth [...], normal V3 of [...])."""
+        from rlgymppo_cpp_tpu.maths.v3 import V3
+        normals, offsets, rmins, rmaxs = self._np_planes
+        shape = pos.x.shape
+        best_depth = jnp.full(shape, -INF)
+        nx = jnp.zeros(shape)
+        ny = jnp.zeros(shape)
+        nz = jnp.ones(shape)
+        for p in range(self.num_planes):
+            n0, n1, n2 = (float(normals[p, 0]), float(normals[p, 1]),
+                          float(normals[p, 2]))
+            dist = n0 * pos.x + n1 * pos.y + n2 * pos.z - float(offsets[p])
+            depth = radius - dist
+            mask = self._region_mask(pos.x, pos.y, pos.z,
+                                     rmins[p], rmaxs[p])
+            better = depth > best_depth
+            if mask is not None:
+                better = better & mask
+            best_depth = jnp.where(better, depth, best_depth)
+            nx = jnp.where(better, n0, nx)
+            ny = jnp.where(better, n1, ny)
+            nz = jnp.where(better, n2, nz)
+        return best_depth, V3(nx, ny, nz)
+
+    def raycast_core(self, start, direction, max_len):
+        """V3 starts/dirs of [...] -> (hit [...], t [...], normal V3)."""
+        from rlgymppo_cpp_tpu.maths.v3 import V3
+        normals, offsets, rmins, rmaxs = self._np_planes
+        shape = start.x.shape
+        best_t = jnp.full(shape, INF)
+        nx = jnp.zeros(shape)
+        ny = jnp.zeros(shape)
+        nz = jnp.ones(shape)
+        for p in range(self.num_planes):
+            n0, n1, n2 = (float(normals[p, 0]), float(normals[p, 1]),
+                          float(normals[p, 2]))
+            n_dot_dir = n0 * direction.x + n1 * direction.y \
+                + n2 * direction.z
+            n_dot_p0 = n0 * start.x + n1 * start.y + n2 * start.z
+            denom = jnp.where(jnp.abs(n_dot_dir) > 1e-9, n_dot_dir, -1e-9)
+            t = (float(offsets[p]) - n_dot_p0) / denom
+            valid = (n_dot_dir < -1e-9) & (t >= 0.0) & (t <= max_len)
+            hx = start.x + direction.x * t
+            hy = start.y + direction.y * t
+            hz = start.z + direction.z * t
+            mask = self._region_mask(hx, hy, hz, rmins[p], rmaxs[p],
+                                     pad=1e-3)
+            if mask is not None:
+                valid = valid & mask
+            better = valid & (t < best_t)
+            best_t = jnp.where(better, t, best_t)
+            nx = jnp.where(better, n0, nx)
+            ny = jnp.where(better, n1, ny)
+            nz = jnp.where(better, n2, nz)
+        hit = best_t < INF
+        return hit, jnp.where(hit, best_t, max_len), V3(nx, ny, nz)
 
 
 def _plane(n, d, rmin=(-INF, -INF, -INF), rmax=(INF, INF, INF)):

@@ -1,0 +1,352 @@
+"""Dynamic-body contacts on the env-last component core.
+
+Port of sim/collisions.py (Arena::_BulletContactAddedCallback routing,
+Arena.cpp:218-427) to V3/M3 [aux..., P, N] layout. Pairwise car-car arrays
+are [P_i, P_j, N]; per-corner arrays carry a leading 8-axis.
+"""
+
+import jax.numpy as jnp
+
+from rlgymppo_cpp_tpu.maths.v3 import V3, vwhere
+from rlgymppo_cpp_tpu.sim import constants as C
+from rlgymppo_cpp_tpu.sim import core_rb as rb
+
+BOX_MARGIN = 2.0
+MESH_MARGIN = 2.0
+
+_SIGNS = [(sx, sy, sz) for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)
+          for sz in (-1.0, 1.0)]
+
+
+def _corner_signs():
+    import numpy as np
+    s = np.asarray(_SIGNS, np.float32)    # [8, 3]
+    return V3(jnp.asarray(s[:, 0]).reshape(8, 1, 1),
+              jnp.asarray(s[:, 1]).reshape(8, 1, 1),
+              jnp.asarray(s[:, 2]).reshape(8, 1, 1))
+
+
+def _v3_take0(v: V3, idx):
+    """Gather along axis 0 with an index of shape v.x.shape[1:]."""
+    return V3(jnp.take_along_axis(v.x, idx[None], axis=0)[0],
+              jnp.take_along_axis(v.y, idx[None], axis=0)[0],
+              jnp.take_along_axis(v.z, idx[None], axis=0)[0])
+
+
+def hitbox_corners(pos: V3, rot, half, offset):
+    """8 margin-inflated hitbox corners, V3 [8, P, N]."""
+    signs = _corner_signs()
+    local = V3(signs.x * half[0] + offset[0],
+               signs.y * half[1] + offset[1],
+               signs.z * half[2] + offset[2])
+    return pos + rot.mv(local)
+
+
+def car_world_contacts(cars, geom, mut, ii_diag, half, offset, dt, active):
+    """Hitbox corners vs static world, sequential impulses over the 8
+    corners. Returns (dvel V3, dang V3, has_contact, contact_normal V3)."""
+    inv_mass = 1.0 / mut.car_mass
+    ii_apply = rb.make_box_ii(cars.rot, ii_diag)
+
+    friction = mut.car_world_friction
+    restitution = mut.car_world_restitution
+    zero = V3.of(0.0, 0.0, 0.0)
+
+    vel, ang_vel = cars.vel, cars.ang_vel
+    has_contact = jnp.zeros_like(active)
+    best_depth = jnp.full(active.shape, -jnp.inf)
+    contact_normal = V3.zeros(active.shape)
+    # One sequential impulse per corner (bullet solver-iteration analog);
+    # the per-corner deepest plane comes from a gather-free plane loop.
+    for sx, sy, sz in _SIGNS:
+        local = V3.of(sx * half[0] + offset[0],
+                      sy * half[1] + offset[1],
+                      sz * half[2] + offset[2])
+        corner = cars.pos + cars.rot.mv(local)
+        depth, normal = geom.sphere_contact_core(corner, MESH_MARGIN)
+        in_contact = (depth > 0.0) & active
+
+        rel = corner - cars.pos
+        dvel, dang, _ = rb.contact_impulse_static(
+            vel, ang_vel, inv_mass, ii_apply,
+            rel, normal, depth, restitution, friction, dt)
+        vel = vel + vwhere(in_contact, dvel, zero)
+        ang_vel = ang_vel + vwhere(in_contact, dang, zero)
+
+        has_contact = has_contact | in_contact
+        deeper = in_contact & (depth > best_depth)
+        best_depth = jnp.where(deeper, depth, best_depth)
+        contact_normal = vwhere(deeper, normal, contact_normal)
+
+    return vel - cars.vel, ang_vel - cars.ang_vel, has_contact, \
+        contact_normal
+
+
+def _sphere_obb(ball_pos: V3, car_pos: V3, car_rot, half, offset, radius):
+    """Closest point of an OBB to a sphere center.
+    Returns (contact V3 world, normal V3 box->sphere, depth)."""
+    rel = ball_pos - car_pos
+    local = car_rot.tmv(rel) - V3.of(*offset)
+    clamped = V3(jnp.clip(local.x, -half[0], half[0]),
+                 jnp.clip(local.y, -half[1], half[1]),
+                 jnp.clip(local.z, -half[2], half[2]))
+    delta = local - clamped
+    dist = delta.norm()
+    outside = dist > 1e-6
+
+    face_dist = V3(half[0] - jnp.abs(local.x), half[1] - jnp.abs(local.y),
+                   half[2] - jnp.abs(local.z))
+    fd = jnp.stack([face_dist.x, face_dist.y, face_dist.z], axis=0)
+    face_axis = jnp.argmin(fd, axis=0)
+    face_min = jnp.min(fd, axis=0)
+    sign_of = jnp.sign(jnp.where(face_axis == 0, local.x,
+                                 jnp.where(face_axis == 1, local.y,
+                                           local.z)))
+    normal_in = V3((face_axis == 0) * sign_of, (face_axis == 1) * sign_of,
+                   (face_axis == 2) * sign_of)
+
+    normal_local = vwhere(outside, delta * (1.0 / jnp.maximum(dist, 1e-6)),
+                          normal_in)
+    depth = jnp.where(outside, radius - dist, face_min + radius)
+    contact_local = vwhere(outside, clamped,
+                           local + normal_in * face_min) + V3.of(*offset)
+    normal_world = car_rot.mv(normal_local)
+    contact_world = car_pos + car_rot.mv(contact_local)
+    return contact_world, normal_world, depth
+
+
+def car_ball_contacts(cars, ball, mut, geom_mode, ii_diag, half_extents,
+                      offset, dt, active, tick_count):
+    """Car-ball contact + extra impulse (Arena.cpp:283-334).
+
+    Returns (car_dvel V3 [P,N], car_dang, ball_dvel V3 [N], ball_dang,
+    ball_cache V3 [N], hit [P,N], new ball_hit_info)."""
+    half = tuple(h + BOX_MARGIN for h in half_extents)
+    ball_pos = ball.pos                        # V3 [N] -> bcast vs [P, N]
+    contact, normal, depth = _sphere_obb(
+        ball_pos, cars.pos, cars.rot, half, offset, mut.ball_radius)
+    hit = (depth > 0.0) & active
+
+    inv_mass_car = 1.0 / mut.car_mass
+    inv_mass_ball = 1.0 / mut.ball_mass
+    ii_car = rb.make_box_ii(cars.rot, ii_diag)
+    ii_ball = rb.make_sphere_ii(
+        rb.sphere_inv_inertia_scalar(mut.ball_mass, mut.ball_radius))
+
+    rel_car = contact - cars.pos
+    rel_ball = contact - ball_pos
+
+    dvel_b, dang_b, dvel_c, dang_c, _ = rb.contact_impulse_pair(
+        ball.vel, ball.ang_vel, inv_mass_ball, ii_ball, rel_ball,
+        cars.vel, cars.ang_vel, inv_mass_car, ii_car, rel_car,
+        normal, depth, C.CARBALL_COLLISION_RESTITUTION,
+        C.CARBALL_COLLISION_FRICTION, dt)
+    zero = V3.of(0.0, 0.0, 0.0)
+    car_dvel = vwhere(hit, dvel_c, zero)
+    car_dang = vwhere(hit, dang_c, zero)
+    ball_dvel = vwhere(hit, dvel_b, zero).sum(axis=0)
+    ball_dang = vwhere(hit, dang_b, zero).sum(axis=0)
+
+    # --- extra impulse (once per 2 ticks per car, Arena.cpp:293-334) ---
+    bhi = cars.ball_hit_info
+    tick = tick_count                           # [N] bcast vs [P, N]
+    gate = (tick > bhi.tick_count_when_extra_impulse_applied + 1) \
+        | (bhi.tick_count_when_extra_impulse_applied > tick)
+    do_extra = hit & gate
+
+    rel_pos = ball_pos - cars.pos
+    rel_vel = ball.vel - cars.vel
+    rel_speed = jnp.minimum(rel_vel.norm(),
+                            C.BALL_CAR_EXTRA_IMPULSE_MAXDELTAVEL_UU)
+
+    if geom_mode == C.GameMode.HOOPS:
+        extra_z = cars.is_on_ground & (
+            cars.rot.u.z
+            > C.BALL_CAR_EXTRA_IMPULSE_Z_SCALE_HOOPS_NORMAL_Z_THRESH)
+        z_scale = jnp.where(extra_z,
+                            C.BALL_CAR_EXTRA_IMPULSE_Z_SCALE_HOOPS_GROUND,
+                            C.BALL_CAR_EXTRA_IMPULSE_Z_SCALE)
+    else:
+        z_scale = C.BALL_CAR_EXTRA_IMPULSE_Z_SCALE
+
+    hit_dir = V3(rel_pos.x, rel_pos.y, rel_pos.z * z_scale).normalized()
+    fwd = cars.rot.f
+    fwd_adj = fwd * (hit_dir.dot(fwd)
+                     * (1 - C.BALL_CAR_EXTRA_IMPULSE_FORWARD_SCALE))
+    hit_dir = (hit_dir - fwd_adj).normalized()
+    added_vel = hit_dir * (rel_speed
+                           * C.BALL_CAR_EXTRA_IMPULSE_FACTOR_CURVE(rel_speed)
+                           * mut.ball_hit_extra_force_scale)
+    added_vel = vwhere(do_extra & (rel_speed > 0), added_vel, zero)
+    ball_cache_impulse = added_vel.sum(axis=0)
+
+    new_bhi = bhi.replace(
+        is_valid=bhi.is_valid | hit,
+        relative_pos_on_ball=vwhere(hit, contact - ball_pos,
+                                    bhi.relative_pos_on_ball),
+        ball_pos=vwhere(hit, ball_pos + (cars.pos * 0.0), bhi.ball_pos),
+        extra_hit_vel=vwhere(hit, added_vel, bhi.extra_hit_vel),
+        tick_count_when_hit=jnp.where(
+            hit, jnp.broadcast_to(tick, hit.shape),
+            bhi.tick_count_when_hit),
+        tick_count_when_extra_impulse_applied=jnp.where(
+            do_extra, jnp.broadcast_to(tick, hit.shape),
+            bhi.tick_count_when_extra_impulse_applied),
+    )
+    return car_dvel, car_dang, ball_dvel, ball_dang, ball_cache_impulse, \
+        hit, new_bhi
+
+
+def _vswap(v: V3) -> V3:
+    return V3(jnp.swapaxes(v.x, 0, 1), jnp.swapaxes(v.y, 0, 1),
+              jnp.swapaxes(v.z, 0, 1))
+
+
+def car_car_contacts(cars, mut, ii_diag, half_extents, offset, dt, active,
+                     teams):
+    """Pairwise car-car contacts + bump/demo rules (Arena.cpp:336-418).
+    Pair arrays are [P_i, P_j, N]: geometry "box of i vs corners of j",
+    bump logic "i bumps j"."""
+    P, N = active.shape
+    zero = V3.of(0.0, 0.0, 0.0)
+    if P < 2:
+        z3 = V3.zeros((P, N))
+        pp = jnp.zeros((P, P, N), bool)
+        return {
+            "dvel": z3, "dang": z3, "bump": pp, "demo": pp,
+            "victim_impulse": z3,
+            "bumper_other": cars.car_contact_other_idx,
+            "bumper_cooldown": cars.car_contact_cooldown_timer,
+        }
+
+    half = tuple(h + BOX_MARGIN for h in half_extents)
+    pos_i = cars.pos.expand(1)                        # [P_i, 1, N]
+    rot_i = cars.rot.expand(1)
+
+    # corners of j vs box of i, deepest corner via a gather-free loop:
+    # each iteration is fused elementwise work on [P_i, P_j, N]
+    pair_shape = (P, P, N)
+    pen_dir = jnp.full(pair_shape, -1.0)
+    contact_dir = V3.zeros(pair_shape)
+    local_best = V3.zeros(pair_shape)
+    fd_best = V3.zeros(pair_shape)
+    for sx, sy, sz in _SIGNS:
+        local_c = V3.of(sx * half[0] + offset[0],
+                        sy * half[1] + offset[1],
+                        sz * half[2] + offset[2])
+        corner_j = (cars.pos + cars.rot.mv(local_c)).expand(0)  # [1, Pj, N]
+        local = rot_i.tmv(corner_j - pos_i) - V3.of(*offset)
+        face_dist = V3(half[0] - jnp.abs(local.x),
+                       half[1] - jnp.abs(local.y),
+                       half[2] - jnp.abs(local.z))
+        inside = (face_dist.x > 0) & (face_dist.y > 0) & (face_dist.z > 0)
+        min_fd = jnp.minimum(face_dist.x,
+                             jnp.minimum(face_dist.y, face_dist.z))
+        pen = jnp.where(inside, min_fd, -1.0)
+        better = pen > pen_dir
+        pen_dir = jnp.where(better, pen, pen_dir)
+        contact_dir = vwhere(better, corner_j, contact_dir)
+        local_best = vwhere(better, local, local_best)
+        fd_best = vwhere(better, face_dist, fd_best)
+
+    axis_is_x = (fd_best.x <= fd_best.y) & (fd_best.x <= fd_best.z)
+    axis_is_y = ~axis_is_x & (fd_best.y <= fd_best.z)
+    axis_is_z = ~axis_is_x & ~axis_is_y
+    sign_best = jnp.sign(jnp.where(axis_is_x, local_best.x,
+                                   jnp.where(axis_is_y, local_best.y,
+                                             local_best.z)))
+    n_local = V3(axis_is_x * sign_best, axis_is_y * sign_best,
+                 axis_is_z * sign_best)
+    normal_dir = rot_i.mv(n_local)                    # [Pi, Pj, N]
+
+    eye = jnp.eye(P, dtype=bool)[..., None]
+    both_active = active[:, None] & active[None, :] & ~eye
+    hit_dir = (pen_dir > 0.0) & both_active
+    contact_ij = hit_dir | jnp.swapaxes(hit_dir, 0, 1)
+
+    pen_dir_m = jnp.where(hit_dir, pen_dir, -1.0)
+    pen_T = jnp.swapaxes(pen_dir_m, 0, 1)
+    use_this = pen_dir_m >= pen_T
+    contact_T = _vswap(contact_dir)
+    normal_T = _vswap(normal_dir)
+    pen_pair = jnp.maximum(pen_dir_m, pen_T)
+    contact_pt = vwhere(use_this, contact_dir, contact_T)
+    normal_ij = vwhere(use_this, normal_dir, -normal_T)
+
+    inv_mass = 1.0 / mut.car_mass
+    rot_j = cars.rot.expand(0)
+    ii_i = rb.make_box_ii(rot_i, ii_diag)
+    ii_j = rb.make_box_ii(rot_j, ii_diag)
+    vel_i, ang_i = cars.vel.expand(1), cars.ang_vel.expand(1)
+    vel_j, ang_j = cars.vel.expand(0), cars.ang_vel.expand(0)
+    rel_i = contact_pt - cars.pos.expand(1)
+    rel_j = contact_pt - cars.pos.expand(0)
+
+    dvel_j_, dang_j_, dvel_i_, dang_i_, _ = rb.contact_impulse_pair(
+        vel_j, ang_j, inv_mass, ii_j, rel_j,
+        vel_i, ang_i, inv_mass, ii_i, rel_i,
+        normal_ij, jnp.maximum(pen_pair, 0.0),
+        C.CARCAR_COLLISION_RESTITUTION, C.CARCAR_COLLISION_FRICTION, dt)
+
+    triu = jnp.triu(jnp.ones((P, P), dtype=bool), 1)[..., None]
+    resolve = contact_ij & triu
+    resolve_T = jnp.swapaxes(resolve, 0, 1)
+    dvel = (vwhere(resolve, dvel_i_, zero).sum(axis=1)
+            + vwhere(resolve_T, _vswap(dvel_j_), zero).sum(axis=1))
+    dang = (vwhere(resolve, dang_i_, zero).sum(axis=1)
+            + vwhere(resolve_T, _vswap(dang_j_), zero).sum(axis=1))
+
+    # ---------------- bump / demo rules (i bumps j) ----------------
+    either_demoed = cars.is_demoed[:, None] | cars.is_demoed[None, :]
+    idx = jnp.arange(P, dtype=jnp.int32)
+    in_cooldown = (cars.car_contact_other_idx[:, None] == idx[None, :, None]) \
+        & (cars.car_contact_cooldown_timer[:, None] > 0)
+
+    delta_pos = cars.pos.expand(0) - cars.pos.expand(1)   # i -> j
+    towards = vel_i.dot(delta_pos) > 0
+    vel_dir_i = vel_i.normalized()
+    dir_to_other = delta_pos.normalized()
+    speed_towards = vel_i.dot(dir_to_other)
+    away_speed = vel_j.dot(vel_dir_i)
+    gaining = speed_towards > away_speed
+
+    local_on_i = rot_i.tmv(contact_pt - cars.pos.expand(1))
+    with_bumper = local_on_i.x > C.BUMP_MIN_FORWARD_DIST
+
+    bump = contact_ij & ~either_demoed & ~in_cooldown & towards & gaining \
+        & with_bumper
+
+    demo_mode = int(mut.demo_mode)
+    if demo_mode == 1:
+        is_demo = bump
+    elif demo_mode == 2:
+        is_demo = jnp.zeros_like(bump)
+    else:
+        is_demo = bump & cars.is_supersonic[:, None]
+    if not mut.enable_team_demos:
+        is_demo = is_demo & (teams[:, None, None] != teams[None, :, None])
+
+    ground_hit = cars.is_on_ground[None, :]               # victim j
+    base_scale = jnp.where(
+        ground_hit, C.BUMP_VEL_AMOUNT_GROUND_CURVE(speed_towards),
+        C.BUMP_VEL_AMOUNT_AIR_CURVE(speed_towards))
+    up_j = cars.rot.u.expand(0)
+    hit_up_dir = vwhere(ground_hit, up_j, V3.of(0.0, 0.0, 1.0))
+    bump_impulse = vel_dir_i * base_scale + hit_up_dir * (
+        C.BUMP_UPWARD_VEL_AMOUNT_CURVE(speed_towards)
+        * mut.bump_force_scale)
+    plain_bump = bump & ~is_demo
+    victim_impulse = vwhere(plain_bump, bump_impulse, zero).sum(axis=0)
+
+    any_bump = jnp.any(bump, axis=1)
+    victim_idx = jnp.argmax(
+        jnp.where(bump, idx[None, :, None], -1), axis=1).astype(jnp.int32)
+    bumper_other = jnp.where(any_bump, victim_idx,
+                             cars.car_contact_other_idx)
+    bumper_cooldown = jnp.where(any_bump, mut.bump_cooldown_time,
+                                cars.car_contact_cooldown_timer)
+    return {
+        "dvel": dvel, "dang": dang, "bump": bump, "demo": is_demo,
+        "victim_impulse": victim_impulse,
+        "bumper_other": bumper_other, "bumper_cooldown": bumper_cooldown,
+    }

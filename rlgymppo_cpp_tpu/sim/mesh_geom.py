@@ -98,6 +98,34 @@ class MeshGeom:
         d, _ = self._sample(pos)
         return d[..., None]
 
+    # --------------------------------------------- env-last core queries
+    # (component V3 API matching ArenaGeom.sphere_contact_core /
+    # raycast_core, so MeshGeom can back the physics core directly)
+
+    def _sample_core(self, pos):
+        from rlgymppo_cpp_tpu.maths.v3 import V3
+        p = jnp.stack([pos.x, pos.y, pos.z], axis=-1)
+        d, n = self._sample(p)
+        return d, V3(n[..., 0], n[..., 1], n[..., 2])
+
+    def sphere_contact_core(self, pos, radius):
+        d, n = self._sample_core(pos)
+        return radius - d, n
+
+    def raycast_core(self, start, direction, max_len):
+        from rlgymppo_cpp_tpu.maths.v3 import V3
+        t = jnp.zeros_like(start.x)
+        for _ in range(self.RAY_STEPS):
+            p = V3(start.x + direction.x * t, start.y + direction.y * t,
+                   start.z + direction.z * t)
+            d, _ = self._sample_core(p)
+            t = jnp.minimum(t + jnp.maximum(d, 0.0), max_len)
+        p = V3(start.x + direction.x * t, start.y + direction.y * t,
+               start.z + direction.z * t)
+        d, n = self._sample_core(p)
+        hit = (d < 6.0) & (t < max_len)
+        return hit, jnp.where(hit, t, max_len), n
+
     def raycast(self, start, direction, max_len):
         """Sphere-trace the distance field: fixed RAY_STEPS iterations.
 
