@@ -1,0 +1,103 @@
+"""Canonical 1v1 training program.
+
+The analog of the reference's examplemain.cpp: same reward combination,
+terminal conditions, obs/action setup and learner hyperparameters
+(examplemain.cpp:58-151), with the thread-pool knobs replaced by one
+`num_envs` batch of lockstep arenas.
+
+Run:  python examples/train_1v1.py [--envs 4096] [--timesteps 10000000]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+# Persistent compile cache: the first arena-step compile is slow
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/rlgymppo_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+from rlgymppo_cpp_tpu.gym import (
+    Gym, Match, DiscreteAction, DefaultOBS, CombinedReward, EventReward,
+    FaceBallReward, VelocityPlayerToBallReward, VelocityBallToGoalReward,
+    NoTouchCondition, GoalScoreCondition, RandomState,
+)
+from rlgymppo_cpp_tpu.learn import Learner, LearnerConfig, PPOLearnerConfig
+from rlgymppo_cpp_tpu.learn.config import SkillTrackerConfig
+
+TICK_SKIP = 8
+NO_TOUCH_TIMEOUT_SECS = 10.0
+
+
+def make_match():
+    """EnvCreateFunc (examplemain.cpp:58-100)."""
+    rewards = CombinedReward([
+        (FaceBallReward(), 0.1),
+        (VelocityPlayerToBallReward(), 0.5),
+        (VelocityBallToGoalReward(), 1.0),
+        (EventReward(team_goal=1.0, concede=-1.0), 50.0),
+    ])
+    return Match(
+        reward_fn=rewards,
+        terminal_conditions=[
+            NoTouchCondition(int(NO_TOUCH_TIMEOUT_SECS * 120 / TICK_SKIP)),
+            GoalScoreCondition(),
+        ],
+        obs_builder=DefaultOBS(),
+        action_parser=DiscreteAction(),
+        state_setter=RandomState(True, True, True),
+        team_size=1, spawn_opponents=True,
+    )
+
+
+def on_iteration(learner, report):
+    """OnIteration (examplemain.cpp:38-55): print the iteration report."""
+    learner.display_report(report)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--envs", type=int, default=4096)
+    ap.add_argument("--timesteps", type=int, default=0,
+                    help="stop after this many timesteps (0 = unlimited)")
+    ap.add_argument("--iterations", type=int, default=None)
+    ap.add_argument("--no-metrics", action="store_true")
+    ap.add_argument("--render", action="store_true")
+    ap.add_argument("--skill-tracker", action="store_true")
+    args = ap.parse_args()
+
+    ts_per_itr = 100_000
+    cfg = LearnerConfig(
+        num_envs=args.envs,
+        timesteps_per_iteration=ts_per_itr,
+        exp_buffer_size=ts_per_itr * 3,
+        timestep_limit=args.timesteps,
+        ppo=PPOLearnerConfig(
+            batch_size=ts_per_itr,
+            mini_batch_size=25_000,
+            epochs=1,
+            ent_coef=0.01,
+            policy_lr=2e-4,
+            critic_lr=2e-4,
+            policy_layer_sizes=(256, 256, 256),
+            critic_layer_sizes=(256, 256, 256),
+        ),
+        send_metrics=not args.no_metrics,
+        render_mode=args.render,
+        skill_tracker=SkillTrackerConfig(enabled=args.skill_tracker,
+                                         num_envs=64),
+        checkpoint_save_folder="checkpoints/train_1v1",
+        checkpoint_load_folder="checkpoints/train_1v1",
+    )
+
+    match = make_match()
+    gym = Gym(match, num_envs=cfg.num_envs, tick_skip=TICK_SKIP)
+    learner = Learner(gym, cfg)
+    learner.iteration_callback = on_iteration
+    learner.learn(iterations=args.iterations)
+
+
+if __name__ == "__main__":
+    main()

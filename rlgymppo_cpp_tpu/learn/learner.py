@@ -45,14 +45,24 @@ REPORT_ORDER = [
 
 class Learner:
     def __init__(self, gym, config: LearnerConfig = None):
+        """`gym` may be a single Gym or a list of Gyms (heterogeneous env
+        groups; all groups must share obs_size/action_amount)."""
         self.config = config or LearnerConfig()
         cfg = self.config
+        self.multi = isinstance(gym, (list, tuple))
         self.gym = gym
 
         self.key = jax.random.PRNGKey(cfg.random_seed)
 
-        self.obs_size = gym.obs_size
-        self.action_amount = gym.action_amount
+        if self.multi:
+            from rlgymppo_cpp_tpu.learn.rollout import MultiGymCollector
+            first = gym[0]
+            self.obs_size = first.obs_size
+            self.action_amount = first.action_amount
+        else:
+            first = gym
+            self.obs_size = gym.obs_size
+            self.action_amount = gym.action_amount
         print(f"Learner: Got obs size {self.obs_size} and "
               f"action amount {self.action_amount}")
 
@@ -62,16 +72,20 @@ class Learner:
 
         self.exp_buffer = ExperienceBuffer(cfg.exp_buffer_size, self.obs_size)
         self.return_stats = welford_init(1)
-        self.collector = RolloutCollector(
-            gym, self.ppo.policy, deterministic=cfg.deterministic)
+        if self.multi:
+            self.collector = MultiGymCollector(
+                gym, self.ppo.policy, deterministic=cfg.deterministic)
+        else:
+            self.collector = RolloutCollector(
+                gym, self.ppo.policy, deterministic=cfg.deterministic)
 
         self.skill_tracker = None
         if cfg.skill_tracker.enabled:
             from rlgymppo_cpp_tpu.learn.skill_tracker import SkillTracker
             self.skill_tracker = SkillTracker(
-                cfg.skill_tracker, gym.match, self.ppo.policy,
-                tick_skip=gym.tick_skip, game_mode=gym.arena.game_mode,
-                car_config=gym.arena.car_config,
+                cfg.skill_tracker, first.match, self.ppo.policy,
+                tick_skip=first.tick_skip, game_mode=first.arena.game_mode,
+                car_config=first.arena.car_config,
                 rng=np.random.default_rng(cfg.random_seed))
 
         self.total_timesteps = 0
@@ -80,12 +94,16 @@ class Learner:
         self.step_metrics_fn = None
 
         # steps per iteration, counted like the reference in player-steps
-        players_per_step = gym.num_envs * gym.num_players
+        if self.multi:
+            self.players_per_step = self.collector.players_per_step
+        else:
+            self.players_per_step = gym.num_envs * gym.num_players
         self.steps_per_iter = max(
-            1, cfg.timesteps_per_iteration // players_per_step)
+            1, cfg.timesteps_per_iteration // self.players_per_step)
 
         self._gym_state = None
         self._obs = None
+        self._pending_rollout = None
         self._last_save_ts = 0
         self.run_id = None
 
@@ -178,21 +196,32 @@ class Learner:
 
     def add_new_experience(self, traj, last_obs, report: Report):
         """Learner::AddNewExperience (Learner.cpp:608-703): value preds,
-        GAE, return stats, buffer submit."""
+        GAE, return stats, buffer submit. Accepts [T, N, P, ...] trajs
+        (single gym) or player-flattened [T, B, ...] (multi-gym)."""
         cfg = self.config
         T = traj["obs"].shape[0]
-        N, P, O = traj["obs"].shape[1:]
-        B = N * P
+        O = traj["obs"].shape[-1]
+        if traj["obs"].ndim == 4:
+            N, P = traj["obs"].shape[1:3]
+            B = N * P
+            rewards = traj["rewards"].reshape(T, B)
+            dones = jnp.broadcast_to(
+                traj["dones"][:, :, None], (T, N, P)).reshape(T, B)
+            truncateds = jnp.broadcast_to(
+                traj["truncateds"][:, :, None], (T, N, P)).reshape(T, B)
+        else:
+            B = traj["obs"].shape[1]
+            rewards = traj["rewards"]
+            dones = traj["dones"]
+            truncateds = traj["truncateds"]
+
+        if isinstance(last_obs, (list, tuple)):
+            last_obs = jnp.concatenate(
+                [o.reshape(-1, O) for o in last_obs], axis=0)
 
         obs_seq = jnp.concatenate(
             [traj["obs"].reshape(T, B, O), last_obs.reshape(1, B, O)], axis=0)
         values = self._predict_values(obs_seq)              # [T+1, B]
-
-        rewards = traj["rewards"].reshape(T, B)
-        dones = jnp.broadcast_to(
-            traj["dones"][:, :, None], (T, N, P)).reshape(T, B)
-        truncateds = jnp.broadcast_to(
-            traj["truncateds"][:, :, None], (T, N, P)).reshape(T, B)
 
         ret_std = welford_std(self.return_stats)[0] \
             if cfg.standardize_returns else jnp.float32(1.0)
@@ -226,7 +255,10 @@ class Learner:
         cfg = self.config
         if self._gym_state is None:
             self.key, sub = jax.random.split(self.key)
-            self._gym_state, self._obs = self.gym.reset(sub)
+            if self.multi:
+                self._gym_state, self._obs = self.collector.reset(sub)
+            else:
+                self._gym_state, self._obs = self.gym.reset(sub)
 
         total_timer = Timer()
         start_ts = self.total_timesteps
@@ -250,6 +282,23 @@ class Learner:
                         self.train_state["policy"], self._gym_state,
                         self._obs, sub, self.steps_per_iter,
                         self.render_sender, cfg.render_time_scale)
+            elif cfg.collection_during_learn:
+                # Pipelined collection (collectionDuringLearn,
+                # LearnerConfig.h:44-46): consume the rollout dispatched
+                # last iteration (collected under the pre-update "stale"
+                # policy) and immediately queue the next one, so the device
+                # work of rollout k+1 lines up behind update k without a
+                # host round trip.
+                if self._pending_rollout is None:
+                    self._pending_rollout = self.collector.collect(
+                        self.train_state["policy"], self._gym_state,
+                        self._obs, sub, self.steps_per_iter)
+                    self.key, sub = jax.random.split(self.key)
+                self._gym_state, self._obs, traj, col_metrics = \
+                    self._pending_rollout
+                self._pending_rollout = self.collector.collect(
+                    self.train_state["policy"], self._gym_state,
+                    self._obs, sub, self.steps_per_iter)
             else:
                 self._gym_state, self._obs, traj, col_metrics = \
                     self.collector.collect(
@@ -258,8 +307,7 @@ class Learner:
             jax.block_until_ready(traj["rewards"])
             collect_time = iter_timer.elapsed()
 
-            ts_collected = self.steps_per_iter * self.gym.num_envs \
-                * self.gym.num_players
+            ts_collected = self.steps_per_iter * self.players_per_step
             self.total_timesteps += ts_collected
 
             report["Average Step Reward"] = float(

@@ -18,6 +18,70 @@ import jax
 import jax.numpy as jnp
 
 
+class MultiGymCollector:
+    """Collection over heterogeneous env groups (SURVEY.md §7 hard part 5).
+
+    The reference's envCreateFn may build a different Match per env (team
+    size, rewards...); lockstep vectorization wants homogeneity, so mixed
+    setups become one Gym *per configuration group*, each stepped by its
+    own jitted scan, with trajectories concatenated player-flattened. All
+    groups must share obs_size (use DefaultOBSPadded for mixed team sizes)
+    and action_amount.
+    """
+
+    def __init__(self, gyms, policy, deterministic=False):
+        self.gyms = list(gyms)
+        sizes = {g.obs_size for g in self.gyms}
+        if len(sizes) != 1:
+            raise ValueError(
+                f"All env groups must share obs_size (got {sizes}); use "
+                "DefaultOBSPadded for mixed team sizes")
+        acts = {g.action_amount for g in self.gyms}
+        if len(acts) != 1:
+            raise ValueError(f"Mixed action amounts: {acts}")
+        self.obs_size = sizes.pop()
+        self.action_amount = acts.pop()
+        self.players_per_step = sum(
+            g.num_envs * g.num_players for g in self.gyms)
+        self.collectors = [
+            RolloutCollector(g, policy, deterministic) for g in self.gyms]
+
+    def reset(self, key):
+        states, obs = [], []
+        for g in self.gyms:
+            key, sub = jax.random.split(key)
+            s, o = g.reset(sub)
+            states.append(s)
+            obs.append(o)
+        return states, obs
+
+    def collect(self, params, gym_states, obs_list, key, num_steps):
+        """-> (gym_states', obs_list', flat traj over all groups, metrics).
+
+        Trajectories concatenate on the flattened player axis:
+        obs [T, sum(B_g), O], rest [T, sum(B_g)].
+        """
+        new_states, new_obs, trajs, metrics = [], [], [], []
+        for col, s, o in zip(self.collectors, gym_states, obs_list):
+            key, sub = jax.random.split(key)
+            s, o, traj, m = col.collect_flat(params, s, o, sub, num_steps)
+            new_states.append(s)
+            new_obs.append(o)
+            trajs.append(traj)
+            metrics.append(m)
+        traj = {k: jnp.concatenate([t[k] for t in trajs], axis=1)
+                for k in trajs[0]}
+        avg = {
+            "avg_step_reward": sum(m["avg_step_reward"] for m in metrics)
+            / len(metrics),
+            "avg_episode_reward": sum(
+                m["avg_episode_reward"] for m in metrics) / len(metrics),
+            "episodes_finished": sum(
+                m["episodes_finished"] for m in metrics),
+        }
+        return new_states, new_obs, traj, avg
+
+
 class RolloutCollector:
     def __init__(self, gym, policy, deterministic=False):
         self.gym = gym
@@ -103,6 +167,29 @@ class RolloutCollector:
         traj = jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
         dones = traj["dones"]
         return self._finalize(gym_state, obs, traj, dones)
+
+    def collect_flat(self, params, gym_state, obs, key, num_steps):
+        """Like collect, but trajectory arrays come back player-flattened:
+        obs [T, B, O], actions/log_probs/rewards/dones/truncateds [T, B]
+        with B = N * P (dones broadcast per player)."""
+        gym_state, last_obs, traj, metrics = self.collect(
+            params, gym_state, obs, key, num_steps)
+        T = traj["obs"].shape[0]
+        N, P, O = traj["obs"].shape[1:]
+        B = N * P
+        flat = {
+            "obs": traj["obs"].reshape(T, B, O),
+            "actions": traj["actions"].reshape(T, B),
+            "log_probs": traj["log_probs"].reshape(T, B),
+            "rewards": traj["rewards"].reshape(T, B),
+            "dones": jnp.broadcast_to(
+                traj["dones"][:, :, None], (T, N, P)).reshape(T, B),
+            "truncateds": jnp.broadcast_to(
+                traj["truncateds"][:, :, None], (T, N, P)).reshape(T, B),
+        }
+        # last_obs stays [N, P, O] (it feeds the next collect call);
+        # consumers flatten it themselves
+        return gym_state, last_obs, flat, metrics
 
     @functools.cached_property
     def _render_step_jit(self):
