@@ -44,10 +44,16 @@ REPORT_ORDER = [
 
 
 class Learner:
-    def __init__(self, gym, config: LearnerConfig = None):
+    def __init__(self, gym, config: LearnerConfig = None,
+                 step_metrics_fn=None):
         """`gym` may be a single Gym or a list of Gyms (heterogeneous env
-        groups; all groups must share obs_size/action_amount)."""
+        groups; all groups must share obs_size/action_amount).
+
+        `step_metrics_fn(game_state, rewards, done) -> {name: scalar}` is
+        the batched step-callback analog; its outputs are averaged over
+        each iteration's window and merged into the report."""
         self.config = config or LearnerConfig()
+        self.step_metrics_fn = step_metrics_fn
         cfg = self.config
         self.multi = isinstance(gym, (list, tuple))
         self.gym = gym
@@ -77,7 +83,8 @@ class Learner:
                 gym, self.ppo.policy, deterministic=cfg.deterministic)
         else:
             self.collector = RolloutCollector(
-                gym, self.ppo.policy, deterministic=cfg.deterministic)
+                gym, self.ppo.policy, deterministic=cfg.deterministic,
+                step_metrics_fn=step_metrics_fn)
 
         self.skill_tracker = None
         if cfg.skill_tracker.enabled:
@@ -91,7 +98,7 @@ class Learner:
         self.total_timesteps = 0
         self.total_epochs = 0
         self.iteration_callback = None
-        self.step_metrics_fn = None
+        self._last_game_metrics = None
 
         # steps per iteration, counted like the reference in player-steps
         if self.multi:
@@ -314,6 +321,12 @@ class Learner:
                 col_metrics["avg_step_reward"])
             report["Average Episode Reward"] = float(
                 col_metrics["avg_episode_reward"])
+            self._last_game_metrics = {
+                k: float(v) for k, v in col_metrics.items()}
+            for k, v in self._last_game_metrics.items():
+                if k not in ("avg_step_reward", "avg_episode_reward",
+                             "episodes_finished"):
+                    report[k] = v
 
             # ---- consumption ----
             consume_timer = Timer()
@@ -334,12 +347,18 @@ class Learner:
                     report[f"Skill Rating {mode}".strip()] = r
 
             # ---- accounting (Learner.cpp:541-570) ----
+            # With pipelined collection, collect+consume can exceed the
+            # iteration wall time; the overlap-corrected "true collection
+            # time" keeps SPS honest like the reference (Learner.cpp:547-555)
             iter_time = iter_timer.elapsed()
+            overlap = max(collect_time + consume_time - iter_time, 0.0)
+            true_collect = max(collect_time - overlap, 1e-9)
             report["Collection Time"] = collect_time
             report["Consumption Time"] = consume_time
+            if cfg.collection_during_learn:
+                report["Collect-Consume Overlap Time"] = overlap
             report["Total Iteration Time"] = iter_time
-            report["Collected Steps/Second"] = ts_collected / max(
-                collect_time, 1e-9)
+            report["Collected Steps/Second"] = ts_collected / true_collect
             report["Overall Steps/Second"] = ts_collected / max(
                 iter_time, 1e-9)
             report["Cumulative Timesteps"] = self.total_timesteps
@@ -364,3 +383,21 @@ class Learner:
 
     def display_report(self, report: Report):
         print(report.display(REPORT_ORDER))
+
+    def update_learning_rates(self, policy_lr=None, critic_lr=None):
+        """Learner::UpdateLearningRates (Learner.cpp:705-707)."""
+        policy_lr = self.config.ppo.policy_lr if policy_lr is None \
+            else policy_lr
+        critic_lr = self.config.ppo.critic_lr if critic_lr is None \
+            else critic_lr
+        self.train_state = self.ppo.update_learning_rates(
+            self.train_state, policy_lr, critic_lr)
+        print(f"Learner: Updated learning rates to {policy_lr:.1e}, "
+              f"{critic_lr:.1e}")
+
+    def get_all_game_metrics(self):
+        """Learner::GetAllGameMetrics analog: the last iteration's
+        collector metrics (per-iteration aggregates rather than the
+        reference's per-game Report list — lockstep envs aggregate on
+        device)."""
+        return dict(self._last_game_metrics or {})

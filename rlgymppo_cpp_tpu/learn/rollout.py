@@ -83,10 +83,17 @@ class MultiGymCollector:
 
 
 class RolloutCollector:
-    def __init__(self, gym, policy, deterministic=False):
+    def __init__(self, gym, policy, deterministic=False,
+                 step_metrics_fn=None):
+        """`step_metrics_fn(game_state, rewards, done) -> dict[str, scalar]`
+        is the batched analog of the reference's per-step callback
+        (GameInst::Step stepCallback, GameInst.cpp:23-24): it runs inside
+        the rollout scan each env-step and its outputs are averaged over
+        the collected window into the collection metrics."""
         self.gym = gym
         self.policy = policy
         self.deterministic = deterministic
+        self.step_metrics_fn = step_metrics_fn
 
     @functools.partial(jax.jit, static_argnames=("self", "num_steps"))
     def collect(self, params, gym_state, obs, key, num_steps):
@@ -121,6 +128,9 @@ class RolloutCollector:
                                        info["episode_reward"], 0.0),
                 "ep_done": done,
             }
+            if self.step_metrics_fn is not None:
+                out["user_metrics"] = self.step_metrics_fn(
+                    info["game_state"], rewards, done)
             return (gym_state, next_obs, key), out
 
         (gym_state, last_obs, _), traj = jax.lax.scan(
@@ -142,6 +152,9 @@ class RolloutCollector:
             / jnp.maximum(ep_count * P, 1),
             "episodes_finished": ep_count,
         }
+        if "user_metrics" in traj:
+            user = traj.pop("user_metrics")
+            metrics.update({k: jnp.mean(v) for k, v in user.items()})
         return gym_state, last_obs, traj, metrics
 
     def collect_rendered(self, params, gym_state, obs, key, num_steps,

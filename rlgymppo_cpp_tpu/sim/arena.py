@@ -58,17 +58,29 @@ class Arena:
                  teams=(0, 1),
                  car_config: CarConfig = CAR_CONFIG_OCTANE,
                  mutator_config: MutatorConfig = None,
-                 tick_rate: float = 120.0):
+                 tick_rate: float = 120.0,
+                 arena_config=None,
+                 geom=None):
         assert 15 <= tick_rate <= 120
         self.game_mode = game_mode
         self.teams = np.asarray(teams, dtype=np.int32)
         self.num_players = len(self.teams)
         self.car_config = car_config
+        self.arena_config = arena_config
         self.mut = mutator_config or MutatorConfig.for_game_mode(game_mode)
         self.tick_time = 1.0 / tick_rate
-        self.geom = make_geom(game_mode)
+        # geom override supports mesh-backed worlds (MeshGeom) in place of
+        # the analytic plane soup
+        self.geom = geom if geom is not None else make_geom(game_mode)
 
-        if game_mode == GameMode.THE_VOID:
+        custom_pads = getattr(arena_config, "custom_boost_pads", None)
+        if custom_pads is not None:
+            self.pad_pos = jnp.asarray(custom_pads, jnp.float32)
+            is_big = getattr(arena_config, "custom_boost_pads_is_big", None)
+            if is_big is None:
+                is_big = np.zeros(len(custom_pads), bool)
+            self.pad_is_big = jnp.asarray(is_big, bool)
+        elif game_mode == GameMode.THE_VOID:
             self.pad_pos = jnp.zeros((0, 3), jnp.float32)
             self.pad_is_big = jnp.zeros((0,), bool)
         else:

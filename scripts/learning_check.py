@@ -1,0 +1,84 @@
+"""Learning-curve sanity run: 1v0 drive-to-ball must visibly learn.
+
+This is the framework's analog of the reference's learning-parity testing
+(README.md:29-30): run the full stack (rollout -> GAE -> buffer -> PPO)
+for N iterations and verify Average Step Reward trends up. Writes one JSON
+line per iteration to --log.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/tmp/rlgymppo_tpu_jax_cache_dev")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+from rlgymppo_cpp_tpu.gym import (
+    Gym, Match, DiscreteAction, DefaultOBS, CombinedReward,
+    VelocityPlayerToBallReward, FaceBallReward, TouchBallReward,
+    NoTouchCondition, GoalScoreCondition, RandomState,
+)
+from rlgymppo_cpp_tpu.learn import Learner, LearnerConfig, PPOLearnerConfig
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--envs", type=int, default=2048)
+    ap.add_argument("--iterations", type=int, default=60)
+    ap.add_argument("--log", default="/tmp/learning_check.jsonl")
+    ap.add_argument("--opponents", action="store_true")
+    args = ap.parse_args()
+
+    match = Match(
+        reward_fn=CombinedReward([
+            (FaceBallReward(), 0.1),
+            (VelocityPlayerToBallReward(), 0.5),
+            (TouchBallReward(), 20.0),
+        ]),
+        terminal_conditions=[NoTouchCondition(150), GoalScoreCondition()],
+        obs_builder=DefaultOBS(),
+        action_parser=DiscreteAction(),
+        state_setter=RandomState(True, False, False),
+        team_size=1, spawn_opponents=args.opponents,
+    )
+    gym = Gym(match, num_envs=args.envs, tick_skip=8)
+
+    ts_per_itr = 50_000
+    cfg = LearnerConfig(
+        num_envs=args.envs,
+        timesteps_per_iteration=ts_per_itr,
+        exp_buffer_size=ts_per_itr,
+        ppo=PPOLearnerConfig(
+            batch_size=ts_per_itr, mini_batch_size=25_000, epochs=2,
+            ent_coef=0.01, policy_lr=2e-4, critic_lr=2e-4),
+        standardize_returns=True,
+        send_metrics=False,
+        checkpoint_save_folder=None, checkpoint_load_folder=None,
+    )
+    learner = Learner(gym, cfg)
+
+    log = open(args.log, "w")
+    t0 = time.time()
+
+    def on_iter(lrn, report):
+        rec = {"iter": len(open(args.log).readlines()) + 1,
+               "ts": lrn.total_timesteps,
+               "wall": round(time.time() - t0, 1),
+               "avg_step_reward": report.get("Average Step Reward"),
+               "avg_ep_reward": report.get("Average Episode Reward"),
+               "entropy": report.get("Policy Entropy"),
+               "kl": report.get("Mean KL Divergence"),
+               "sps": report.get("Overall Steps/Second")}
+        log.write(json.dumps(rec) + "\n")
+        log.flush()
+
+    learner.iteration_callback = on_iter
+    learner.learn(iterations=args.iterations)
+
+
+if __name__ == "__main__":
+    main()
