@@ -45,15 +45,21 @@ REPORT_ORDER = [
 
 class Learner:
     def __init__(self, gym, config: LearnerConfig = None,
-                 step_metrics_fn=None):
+                 step_metrics_fn=None, mesh=None):
         """`gym` may be a single Gym or a list of Gyms (heterogeneous env
         groups; all groups must share obs_size/action_amount).
 
         `step_metrics_fn(game_state, rewards, done) -> {name: scalar}` is
         the batched step-callback analog; its outputs are averaged over
-        each iteration's window and merged into the report."""
+        each iteration's window and merged into the report.
+
+        `mesh` (parallel.make_mesh) shards the whole training run: env
+        state data-parallel over the mesh's env axis, params replicated
+        (or TP-sharded over the model axis); XLA inserts the gradient
+        psums (SURVEY.md §5.8)."""
         self.config = config or LearnerConfig()
         self.step_metrics_fn = step_metrics_fn
+        self.mesh = mesh
         cfg = self.config
         self.multi = isinstance(gym, (list, tuple))
         self.gym = gym
@@ -75,6 +81,10 @@ class Learner:
         self.ppo = PPOLearner(self.obs_size, self.action_amount, cfg.ppo)
         self.key, sub = jax.random.split(self.key)
         self.train_state = self.ppo.init(sub)
+        if self.mesh is not None:
+            from rlgymppo_cpp_tpu.parallel import shard_train_state
+            self.train_state = shard_train_state(self.train_state,
+                                                 self.mesh)
 
         self.exp_buffer = ExperienceBuffer(cfg.exp_buffer_size, self.obs_size)
         self.return_stats = welford_init(1)
@@ -266,6 +276,10 @@ class Learner:
                 self._gym_state, self._obs = self.collector.reset(sub)
             else:
                 self._gym_state, self._obs = self.gym.reset(sub)
+            if self.mesh is not None:
+                from rlgymppo_cpp_tpu.parallel import shard_env_tree
+                self._gym_state = shard_env_tree(self._gym_state, self.mesh)
+                self._obs = shard_env_tree(self._obs, self.mesh)
 
         total_timer = Timer()
         start_ts = self.total_timesteps

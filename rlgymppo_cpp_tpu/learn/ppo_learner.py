@@ -193,13 +193,15 @@ class PPOLearner:
                 grad_flat = metrics.pop("policy_grad_flat", None)
                 if grad_flat is not None and self.grad_noise_tracker:
                     self.grad_noise_tracker.update(grad_flat)
-                metrics = {k: float(v) for k, v in metrics.items()}
+                # accumulate on device; one host sync after the loop
                 if metrics_sum is None:
                     metrics_sum = metrics
                 else:
-                    metrics_sum = {k: metrics_sum[k] + metrics[k]
-                                   for k in metrics}
+                    metrics_sum = jax.tree.map(jnp.add, metrics_sum,
+                                               metrics)
 
+        if metrics_sum is not None:
+            metrics_sum = {k: float(v) for k, v in metrics_sum.items()}
         n = max(num_iterations, 1)
         self.cumulative_model_updates += num_iterations
         report = {

@@ -14,6 +14,12 @@ class Report:
     def __contains__(self, key):
         return key in self.data
 
+    def get(self, key, default=None):
+        return self.data.get(key, default)
+
+    def items(self):
+        return self.to_dict().items()
+
     def accum(self, key, value):
         self.data[key] = self.data.get(key, 0.0) + float(value)
 

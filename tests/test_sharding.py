@@ -1,0 +1,124 @@
+"""Multi-chip sharding: the fused train step over a virtual 8-device mesh
+(SURVEY.md §5.8 — envs data-parallel, params replicated/TP-sharded)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rlgymppo_cpp_tpu.gym import (
+    Gym, Match, DiscreteAction, DefaultOBS, VelocityPlayerToBallReward,
+    NoTouchCondition, RandomState,
+)
+from rlgymppo_cpp_tpu.learn.config import LearnerConfig, PPOLearnerConfig
+from rlgymppo_cpp_tpu.learn.ppo_learner import PPOLearner
+from rlgymppo_cpp_tpu.learn.train_step import make_train_step
+from rlgymppo_cpp_tpu.ops.welford import welford_init
+from rlgymppo_cpp_tpu.parallel import (
+    make_mesh, shard_env_tree, shard_train_state, replicated,
+    mlp_param_shardings, ENV_AXIS, MODEL_AXIS,
+)
+
+
+def make_gym(num_envs):
+    match = Match(
+        reward_fn=VelocityPlayerToBallReward(),
+        terminal_conditions=[NoTouchCondition(10)],
+        obs_builder=DefaultOBS(),
+        action_parser=DiscreteAction(),
+        state_setter=RandomState(False, False, False),
+        team_size=1, spawn_opponents=True,
+    )
+    return Gym(match, num_envs=num_envs, tick_skip=8)
+
+
+def _cpu_devices():
+    devices = jax.devices("cpu")
+    if len(devices) < 8:
+        pytest.skip("need 8 virtual CPU devices "
+                    "(xla_force_host_platform_device_count)")
+    return devices
+
+
+def test_mesh_and_param_shardings():
+    devices = _cpu_devices()
+    mesh = make_mesh(devices[:8], model_parallel=2)
+    assert mesh.shape[ENV_AXIS] == 4 and mesh.shape[MODEL_AXIS] == 2
+
+    ppo = PPOLearner(70, 90, PPOLearnerConfig(
+        policy_layer_sizes=(64, 64), critic_layer_sizes=(64, 64),
+        batch_size=32, mini_batch_size=32, epochs=1))
+    ts = ppo.init(jax.random.PRNGKey(0))
+    sh = mlp_param_shardings(ts["policy"], mesh)
+    # hidden layers split; shapes indivisible by tp fall back to replicated
+    assert sh[0]["w"].spec == jax.sharding.PartitionSpec(None, MODEL_AXIS)
+    ts_sharded = shard_train_state(ts, mesh)
+    leaves = jax.tree.leaves(ts_sharded["policy"])
+    for a, b in zip(leaves, jax.tree.leaves(ts["policy"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_train_step_matches_single_device():
+    """The DP+TP-sharded fused train step computes the same update as the
+    unsharded one (within float tolerance)."""
+    num_envs = 8
+    horizon = 2
+    gym = make_gym(num_envs)
+    total = horizon * num_envs * gym.num_players
+    ppo_cfg = PPOLearnerConfig(
+        policy_layer_sizes=(32, 32), critic_layer_sizes=(32, 32),
+        batch_size=total, mini_batch_size=total, epochs=1)
+    cfg = LearnerConfig(num_envs=num_envs, ppo=ppo_cfg,
+                        checkpoint_load_folder=None,
+                        checkpoint_save_folder=None)
+    ppo = PPOLearner(gym.obs_size, gym.action_amount, ppo_cfg)
+    key = jax.random.PRNGKey(0)
+    k_init, k_reset, k_step = jax.random.split(key, 3)
+
+    train_state = ppo.init(k_init)
+    gym_state, obs = gym.reset(k_reset)
+    rs = welford_init(1)
+    step = make_train_step(gym, ppo, cfg, horizon)
+
+    cpu = _cpu_devices()
+    # single (CPU) device — same platform as the sharded run so float
+    # results are comparable
+    one = jax.sharding.SingleDeviceSharding(cpu[0])
+    ts1, _, _, _, m1 = step(
+        jax.device_put(train_state, one), jax.device_put(gym_state, one),
+        jax.device_put(obs, one), jax.device_put(rs, one), k_step)
+
+    # 8-device mesh
+    mesh = make_mesh(cpu[:8], model_parallel=2)
+    with mesh:
+        ts_sh = shard_train_state(train_state, mesh)
+        gs_sh = shard_env_tree(gym_state, mesh)
+        obs_sh = shard_env_tree(obs, mesh)
+        rs_sh = jax.device_put(rs, replicated(mesh))
+        ts2, _, _, _, m2 = step(ts_sh, gs_sh, obs_sh, rs_sh, k_step)
+
+    for a, b in zip(jax.tree.leaves(ts1["policy"]),
+                    jax.tree.leaves(ts2["policy"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+    assert abs(float(m1["entropy"]) - float(m2["entropy"])) < 1e-3
+
+
+def test_learner_with_mesh():
+    """Full Learner loop sharded over the virtual mesh."""
+    from rlgymppo_cpp_tpu.learn import Learner
+    cpu = _cpu_devices()
+    mesh = make_mesh(cpu[:8], model_parallel=2)
+    gym = make_gym(8)
+    cfg = LearnerConfig(
+        num_envs=8, timesteps_per_iteration=32, exp_buffer_size=64,
+        ppo=PPOLearnerConfig(batch_size=32, mini_batch_size=32, epochs=1,
+                             policy_layer_sizes=(32,),
+                             critic_layer_sizes=(32,)),
+        checkpoint_save_folder=None, checkpoint_load_folder=None,
+        send_metrics=False)
+    with mesh:
+        learner = Learner(gym, cfg, mesh=mesh)
+        learner.learn(iterations=2)
+    assert learner.total_timesteps == 64
+    assert learner.ppo.cumulative_model_updates > 0
