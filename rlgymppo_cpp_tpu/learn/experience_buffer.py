@@ -21,29 +21,21 @@ FIELDS = ("states", "actions", "log_probs", "values", "advantages")
 
 @functools.partial(jax.jit, static_argnames=("cur_size", "max_size"))
 def _submit(data, add, cur_size, max_size):
+    """FIFO shift with static sizes: pure slices + concat, no gathers
+    (random-access gathers are pathologically slow on TPU)."""
     add_amount = jax.tree.leaves(add)[0].shape[0]
     L = cur_size + add_amount
     start = max(L - max_size, 0)
     new_size = min(L, max_size)
 
-    idx = jnp.arange(max_size)
-    virtual = start + idx                      # virtual index into old++new
-    from_new = virtual >= cur_size
-    old_idx = jnp.clip(virtual, 0, max_size - 1)
-    new_idx = jnp.clip(virtual - cur_size, 0, add_amount - 1)
-
     def merge(old_arr, new_arr):
-        gathered_old = old_arr[old_idx]
-        gathered_new = new_arr[new_idx]
-        mask = jnp.reshape(from_new,
-                           from_new.shape + (1,) * (old_arr.ndim - 1))
-        out = jnp.where(mask, gathered_new, gathered_old)
-        # slots beyond new_size keep old content (only when not yet full)
-        if new_size < max_size:
-            keep = jnp.reshape(idx < new_size,
-                               (max_size,) + (1,) * (old_arr.ndim - 1))
-            out = jnp.where(keep, out, old_arr)
-        return out
+        if L <= max_size:
+            # append in place; slots beyond new_size keep old filler
+            return jnp.concatenate(
+                [old_arr[:cur_size], new_arr, old_arr[L:]], axis=0)
+        # overflow: drop the oldest `start` rows
+        return jnp.concatenate(
+            [old_arr[start:cur_size], new_arr], axis=0)
 
     return jax.tree.map(merge, data, add), new_size
 

@@ -28,6 +28,7 @@ def _global_norm(tree):
     return optax.global_norm(tree)
 
 
+@jax.jit
 def _params_vector_norm_diff(a, b):
     leaves_a = jax.tree.leaves(a)
     leaves_b = jax.tree.leaves(b)
@@ -170,6 +171,37 @@ class PPOLearner:
 
     # ----------------------------------------------------------------- learn
 
+    @functools.partial(jax.jit,
+                       static_argnames=("self", "start", "n_epochs"))
+    def _learn_single_batch(self, train_state, data, start, n_epochs):
+        """Full PPO phase for the one-batch-per-epoch case in a single
+        program: batch slice + epochs of _train_batch + update magnitudes.
+        One device dispatch instead of dozens (host->device call latency
+        dominated the learn phase otherwise)."""
+        cfg = self.config
+        batch = {k: jax.lax.dynamic_slice_in_dim(
+            data[k], start, cfg.batch_size, axis=0)
+            for k in ("states", "actions", "log_probs", "values",
+                      "advantages")}
+        policy_before = train_state["policy"]
+        critic_before = train_state["value"]
+
+        def epoch_body(ts, _):
+            ts, m = self._train_batch(ts, batch)
+            return ts, m
+
+        train_state, ms = jax.lax.scan(
+            epoch_body, train_state, None, length=n_epochs)
+        metrics = jax.tree.map(lambda x: jnp.mean(x, axis=0), ms)
+        # one stacked vector -> one device->host transfer for all metrics
+        packed = jnp.stack([
+            metrics["entropy"], metrics["kl"], metrics["ratio"],
+            metrics["value_loss"], metrics["clip_fraction"],
+            _params_vector_norm_diff(policy_before, train_state["policy"]),
+            _params_vector_norm_diff(critic_before, train_state["value"]),
+        ])
+        return train_state, packed
+
     def learn(self, train_state, exp_buffer, key):
         """Full PPO phase over the experience buffer. Returns
         (train_state', report dict of floats)."""
@@ -179,15 +211,49 @@ class PPOLearner:
 
         num_iterations = 0
         metrics_sum = None
+        fields = ("states", "actions", "log_probs", "values", "advantages")
+        n_batches = exp_buffer.cur_size // cfg.batch_size
+
+        if n_batches == 1 and self.grad_noise_tracker is None:
+            # fused fast path: one device dispatch for the whole phase
+            train_state, packed = self._learn_single_batch(
+                train_state, exp_buffer.data,
+                exp_buffer.cur_size - cfg.batch_size, cfg.epochs)
+            m = np.asarray(packed)
+            self.cumulative_model_updates += cfg.epochs
+            return train_state, {
+                "Cumulative Model Updates": self.cumulative_model_updates,
+                "Policy Entropy": float(m[0]),
+                "Mean KL Divergence": float(m[1]),
+                "Mean Ratio": float(m[2]),
+                "Value Function Loss": float(m[3]),
+                "SB3 Clip Fraction": float(m[4]),
+                "Policy Update Magnitude": float(m[5]),
+                "Value Function Update Magnitude": float(m[6]),
+            }
+
         for epoch in range(cfg.epochs):
-            key, sub = jax.random.split(key)
-            batch_indices = exp_buffer.get_shuffled_batch_indices(
-                sub, cfg.batch_size)
-            for b in range(batch_indices.shape[0]):
-                idx = batch_indices[b]
-                batch = {k: exp_buffer.data[k][idx]
-                         for k in ("states", "actions", "log_probs",
-                                   "values", "advantages")}
+            if n_batches == 1:
+                # One optimizer step per batch (PPOLearner.cpp:103-299) and
+                # one batch per epoch: the row shuffle cannot change the
+                # update (gradients sum over the whole batch before the
+                # step), so skip it — random row gathers profiled as the
+                # hottest kernel of the learn phase on TPU. The newest
+                # batch_size rows are used when the buffer holds a
+                # remainder.
+                batches = [{k: jax.lax.dynamic_slice_in_dim(
+                    exp_buffer.data[k],
+                    exp_buffer.cur_size - cfg.batch_size, cfg.batch_size,
+                    axis=0) for k in fields}]
+            else:
+                key, sub = jax.random.split(key)
+                batch_indices = exp_buffer.get_shuffled_batch_indices(
+                    sub, cfg.batch_size)
+                batches = [
+                    {k: exp_buffer.data[k][batch_indices[b]]
+                     for k in fields}
+                    for b in range(batch_indices.shape[0])]
+            for batch in batches:
                 train_state, metrics = self._train_batch(train_state, batch)
                 num_iterations += 1
                 grad_flat = metrics.pop("policy_grad_flat", None)
