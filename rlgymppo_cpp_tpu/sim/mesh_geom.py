@@ -35,17 +35,23 @@ class MeshGeom:
 
     @classmethod
     def from_cmf(cls, paths, bounds_min, bounds_max, dims=(128, 160, 64),
-                 band=300.0):
+                 band=300.0, game_mode_name="soccar"):
         """Bake one grid from one or more .cmf files (a game mode's arena
-        is split across several meshes, RocketSim.cpp:118-148)."""
-        from rlgymppo_cpp_tpu.sim.mesh_loader import load_cmf, bake_sdf
-        all_tris, all_verts = [], []
+        is split across several meshes, RocketSim.cpp:118-148). Mesh
+        hashes are checked against the official whitelist with warnings
+        for unknown/duplicate meshes (:149-163)."""
+        from rlgymppo_cpp_tpu.sim.mesh_loader import (
+            load_cmf, bake_sdf, validate_mesh_hashes,
+        )
+        all_tris, all_verts, hashes = [], [], []
         off = 0
         for p in paths:
-            tris, verts, _ = load_cmf(p)
+            tris, verts, h = load_cmf(p)
+            hashes.append(h)
             all_tris.append(tris + off)
             all_verts.append(verts)
             off += verts.shape[0]
+        validate_mesh_hashes(hashes, game_mode_name)
         tris = np.concatenate(all_tris)
         verts = np.concatenate(all_verts)
         dist, dirs, bmin, cell = bake_sdf(

@@ -47,6 +47,44 @@ def _load_lib():
     return lib
 
 
+# Known official arena mesh hashes per game mode (RocketSim.cpp:12-43);
+# unknown or duplicate meshes warn like RocketSim::InitFromMem (:149-163)
+KNOWN_MESH_HASHES = {
+    "soccar": {
+        0xA160BAF9, 0x2811EEE8, 0xB81AC8B9, 0x760358D3,
+        0x73AE4940, 0x918F4A4E, 0x1F8EE550, 0x255BA8C1,
+        0x14B84668, 0xEC759EBF, 0x94FB0D5C, 0xDEA07102,
+        0xBD4FBEA8, 0x39A47F63, 0x3D79D25D, 0xD84C7A68,
+    },
+    "hoops": {
+        0x72F2359E, 0x5ED14A26, 0xFD5A0D07, 0x92AFA5B5,
+        0x0E4133C7, 0x399E8B5F, 0xBB9D4FB5, 0x8C87FB93,
+        0x1CFD0E16, 0xE19E1DF6, 0x9CA179DC, 0x16F3CC19,
+    },
+}
+
+
+def validate_mesh_hashes(hashes, game_mode_name="soccar"):
+    """Warn on unknown/duplicate mesh hashes (RocketSim.cpp:149-163).
+    Returns the list of warnings (also printed)."""
+    known = KNOWN_MESH_HASHES.get(game_mode_name, set())
+    seen = set()
+    warnings = []
+    for h in hashes:
+        if h in seen:
+            warnings.append(
+                f"Duplicate collision mesh 0x{h:08X} — it will be "
+                "loaded twice")
+        elif known and h not in known:
+            warnings.append(
+                f"Unknown {game_mode_name} collision mesh 0x{h:08X} "
+                "(not an official arena mesh; proceeding anyway)")
+        seen.add(h)
+    for w in warnings:
+        print(f"mesh_loader: WARNING: {w}")
+    return warnings
+
+
 def load_cmf(path):
     """Parse a .cmf file -> (tris int32 [T, 3], verts float32 [V, 3],
     hash uint32). Raises on the validation failures the reference fatals
