@@ -116,7 +116,7 @@ class SkillTracker:
             cur_act, _ = self.policy.get_action(
                 cur_params, flat_obs, None, deterministic=True)
             per_env_old = jax.tree.map(lambda x: x[old_idx], old_stack)
-            old_act, _ = jax.vmap(
+            old_act = jax.vmap(
                 lambda p, o: self.policy.get_action(
                     p, o, None, deterministic=True)[0]
             )(per_env_old, obs)                        # [N, P]

@@ -8,3 +8,9 @@ from rlgymppo_cpp_tpu.sim.state import (
     CarControls, CarState, BallState, PadState, ArenaState,
 )
 from rlgymppo_cpp_tpu.sim.arena import Arena
+from rlgymppo_cpp_tpu.sim.arena_config import ArenaConfig
+from rlgymppo_cpp_tpu.sim.ball_pred import BallPredTracker
+from rlgymppo_cpp_tpu.sim.game_event_tracker import (
+    GameEventTracker, GameEventTrackerConfig,
+)
+from rlgymppo_cpp_tpu.sim.serialize import clone_state, save_state, load_state

@@ -56,8 +56,10 @@ def test_run_games_smoke():
     match = make_match()
     policy = DiscretePolicy(89, 90, (16,))
     params = policy.init(jax.random.PRNGKey(0))
+    # 3 envs (odd) would break if eval actions were mis-unpacked along
+    # the env axis (a [2, P] array silently unpacks into two rows)
     cfg = SkillTrackerConfig(
-        enabled=True, num_envs=2, max_eval_seconds=2.0,
+        enabled=True, num_envs=3, max_eval_seconds=3.0,
         timesteps_per_version=100, max_versions=2, rating_inc=5.0,
         starting_rating=1000.0, kickoff_only=True)
     tr = SkillTracker(cfg, match, policy)
