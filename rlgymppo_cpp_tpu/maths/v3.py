@@ -15,6 +15,8 @@ components directly, so the `[..., None]` mask-expansion noise of the AoS
 code disappears.
 """
 
+import math
+
 import jax.numpy as jnp
 from flax import struct
 
@@ -178,7 +180,10 @@ def rodrigues(axis: V3, angle, v: V3) -> V3:
 
 def to_core(arr, batch_ndim=1):
     """Public [batch..., rest...] -> core [reversed(rest)..., N]."""
-    a = arr.reshape((-1,) + arr.shape[batch_ndim:])
+    # explicit batch product: reshape(-1) divides by the rest-product,
+    # which is 0 for empty axes (e.g. THE_VOID's zero boost pads)
+    n = math.prod(arr.shape[:batch_ndim])
+    a = arr.reshape((n,) + arr.shape[batch_ndim:])
     return jnp.transpose(a, axes=tuple(range(a.ndim - 1, -1, -1)))
 
 

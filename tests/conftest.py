@@ -1,9 +1,16 @@
 """Test environment: force CPU with 8 virtual devices so multi-chip sharding
-tests run anywhere (SURVEY.md §4 test strategy)."""
+tests run anywhere (SURVEY.md §4 test strategy).
+
+Forced, not defaulted: some environments bake a TPU plugin selection into
+the shell env (e.g. JAX_PLATFORMS=axon) and register it from sitecustomize,
+which would silently route the whole suite through a remote TPU. The
+config.update below wins as long as it runs before first backend use, which
+pytest's conftest import order guarantees.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,3 +21,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/tmp/rlgymppo_tpu_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

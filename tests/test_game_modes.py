@@ -1,0 +1,119 @@
+"""Alternate game modes: Heatseeker, Snowday, The Void.
+
+Heatseeker homing / retarget replicate Ball::_PreTickUpdate and
+_OnWorldCollision (RocketSim Ball.cpp:152-253); mode mutator defaults
+replicate MutatorConfig.cpp:5-34; The Void removes the static world
+(Arena.cpp:509-515)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rlgymppo_cpp_tpu.sim import constants as C
+from rlgymppo_cpp_tpu.sim.arena import Arena
+from rlgymppo_cpp_tpu.sim.constants import GameMode
+from rlgymppo_cpp_tpu.sim.mutators import MutatorConfig
+from rlgymppo_cpp_tpu.sim.state import CarControls
+
+
+def run_ticks(arena, state, n, key=None):
+    key = key if key is not None else jax.random.PRNGKey(0)
+    controls = CarControls.zeros(state.cars.boost.shape)
+    for _ in range(n):
+        key, sub = jax.random.split(key)
+        state, _ = arena.tick_jit(state, controls, sub)
+    return state
+
+
+@pytest.fixture(scope="module")
+def hs_arena():
+    return Arena(game_mode=GameMode.HEATSEEKER, teams=(0, 1))
+
+
+def test_heatseeker_mutator_defaults():
+    """Infinite boost: 100 spawn boost, zero usage (MutatorConfig.cpp:29-34)."""
+    mut = MutatorConfig.for_game_mode(GameMode.HEATSEEKER)
+    assert mut.car_spawn_boost_amount == 100.0
+    assert mut.boost_used_per_second == 0.0
+
+
+def test_snowday_mutator_defaults():
+    mut = MutatorConfig.for_game_mode(GameMode.SNOWDAY)
+    assert mut.ball_radius == C.Snowday.PUCK_RADIUS
+    assert mut.ball_mass == C.Snowday.PUCK_MASS_BT
+    assert mut.ball_world_friction == C.Snowday.PUCK_FRICTION
+    assert mut.ball_world_restitution == C.Snowday.PUCK_RESTITUTION
+
+
+def test_heatseeker_homing_turns_ball_toward_goal(hs_arena):
+    """A ball with a +Y target and pure +X velocity must curve toward the
+    orange goal and blend its speed toward the current target speed."""
+    state = hs_arena.default_state(())
+    ball = state.ball.replace(
+        pos=jnp.asarray([0.0, 0.0, 800.0]),
+        vel=jnp.asarray([1400.0, 0.0, 0.0]),
+        hs_info=state.ball.hs_info.replace(
+            y_target_dir=jnp.float32(1.0),
+            cur_target_speed=jnp.float32(C.Heatseeker.INITIAL_TARGET_SPEED)))
+    state = state.replace(ball=ball)
+    state = run_ticks(hs_arena, state, 30)
+
+    vel = np.asarray(state.ball.vel)
+    assert vel[1] > 200.0, f"ball should curve toward +Y goal, vel={vel}"
+    speed = float(np.linalg.norm(vel))
+    assert speed > 1500.0, "speed must blend up toward the target speed"
+    assert float(state.ball.hs_info.time_since_hit) > 0.2
+
+
+def test_heatseeker_without_target_is_ballistic(hs_arena):
+    """y_target_dir == 0 -> no homing: the ball keeps a ~zero Y velocity."""
+    state = hs_arena.default_state(())
+    ball = state.ball.replace(
+        pos=jnp.asarray([0.0, 0.0, 800.0]),
+        vel=jnp.asarray([1400.0, 0.0, 0.0]))
+    state = state.replace(ball=ball)
+    state = run_ticks(hs_arena, state, 30)
+    vel = np.asarray(state.ball.vel)
+    assert abs(vel[1]) < 1.0
+    assert vel[2] < 0.0  # gravity still applies
+
+
+def test_heatseeker_kickoff_ball_spawn(hs_arena):
+    """Heatseeker kickoff launches the ball from the side wall toward a
+    random goal (Arena.cpp:128-143 heatseeker branch)."""
+    state = hs_arena.default_state(())
+    state = hs_arena.reset_to_random_kickoff(state, jax.random.PRNGKey(3))
+    pos = np.asarray(state.ball.pos)
+    start = np.asarray(C.Heatseeker.BALL_START_POS)
+    np.testing.assert_allclose(pos[0], start[0], atol=1e-4)
+    assert abs(abs(pos[1]) - abs(start[1])) < 1e-3
+    vel = np.asarray(state.ball.vel)
+    assert abs(vel[2] - C.Heatseeker.BALL_START_VEL[2]) < 1e-4
+
+
+def test_snowday_puck_rests_on_ground():
+    """The puck spawns at puck radius height and the ground-stick force
+    keeps it there (Ball.cpp:217-253 snowday branch)."""
+    arena = Arena(game_mode=GameMode.SNOWDAY, teams=(0, 1))
+    state = arena.default_state(())
+    # wake it so contacts actually run
+    state = state.replace(ball=state.ball.replace(
+        vel=jnp.asarray([10.0, 0.0, 0.0])))
+    state = run_ticks(arena, state, 60)
+    z = float(state.ball.pos[2])
+    assert abs(z - arena.mut.ball_radius) < 6.0, \
+        f"puck should stay stuck to the ground, z={z}"
+
+
+def test_void_has_no_world():
+    """THE_VOID: no static geometry — a ball at kickoff height free-falls
+    through where the floor would be (Arena.cpp:509-515)."""
+    arena = Arena(game_mode=GameMode.THE_VOID, teams=(0, 1))
+    state = arena.default_state(())
+    state = state.replace(ball=state.ball.replace(
+        pos=jnp.asarray([0.0, 0.0, 200.0]),
+        vel=jnp.asarray([0.0, 0.0, -100.0])))
+    state = run_ticks(arena, state, 120)
+    # 1s of free fall from 200uu with -100uu/s: z ≈ 200 - 100 - g/2 ≈ -225
+    assert float(state.ball.pos[2]) < -150.0

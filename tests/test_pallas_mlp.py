@@ -1,0 +1,82 @@
+"""Fused Pallas policy-forward kernel vs the differentiable jnp path.
+
+The kernel (ops/pallas_mlp.py) must reproduce mlp_apply + temperature
+softmax + min-prob clip (DiscretePolicy.cpp:44-50) exactly; on CPU it runs
+in interpret mode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rlgymppo_cpp_tpu.models.discrete_policy import (
+    ACTION_MIN_PROB, DiscretePolicy)
+from rlgymppo_cpp_tpu.ops.pallas_mlp import fused_mlp_probs
+
+
+@pytest.fixture(scope="module")
+def setup():
+    policy = DiscretePolicy(89, 90, (256, 256, 256), use_pallas=False)
+    params = policy.init(jax.random.PRNGKey(0))
+    obs = jax.random.normal(jax.random.PRNGKey(1), (1000, 89), jnp.float32)
+    return policy, params, obs
+
+
+def test_matches_jnp_path(setup):
+    policy, params, obs = setup
+    ref = policy.get_action_probs(params, obs)
+    got = fused_mlp_probs(params, obs, min_prob=ACTION_MIN_PROB,
+                          interpret=True)
+    assert got.shape == (1000, 90)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-6, rtol=1e-5)
+
+
+def test_temperature_and_min_prob(setup):
+    policy, params, obs = setup
+    hot = DiscretePolicy(89, 90, (256, 256, 256), temperature=2.5,
+                         use_pallas=False)
+    ref = hot.get_action_probs(params, obs)
+    got = fused_mlp_probs(params, obs, temperature=2.5,
+                          min_prob=ACTION_MIN_PROB, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-6, rtol=1e-5)
+    assert float(jnp.min(got)) >= ACTION_MIN_PROB
+
+
+def test_bf16_compute(setup):
+    """bf16 weights/activations with f32 accumulation — same contract the
+    jnp path offers via compute_dtype (PPOLearnerConfig.h:19-22)."""
+    policy, params, obs = setup
+    ref = DiscretePolicy(89, 90, (256, 256, 256),
+                         compute_dtype=jnp.bfloat16,
+                         use_pallas=False).get_action_probs(params, obs)
+    got = fused_mlp_probs(params, obs, compute_dtype=jnp.bfloat16,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=1e-2)
+    # rows still sum to ~1 (pad columns carry ~0 probability)
+    np.testing.assert_allclose(np.asarray(jnp.sum(got, axis=-1)), 1.0,
+                               atol=1e-2)
+
+
+def test_ragged_batch(setup):
+    """Batch not a multiple of the tile: padded rows must not leak."""
+    policy, params, obs = setup
+    ref = policy.get_action_probs(params, obs[:37])
+    got = fused_mlp_probs(params, obs[:37], min_prob=ACTION_MIN_PROB,
+                          interpret=True)
+    assert got.shape == (37, 90)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-6, rtol=1e-5)
+
+
+def test_auto_gate_prefers_jnp_off_tpu(setup):
+    """On CPU the auto gate must keep the jnp path (no interpret-mode
+    surprise in production code), and small batches always stay jnp."""
+    policy, params, obs = setup
+    auto = DiscretePolicy(89, 90, (256, 256, 256))
+    assert jax.default_backend() != "tpu"  # conftest forces CPU
+    ref = policy.get_action_probs(params, obs)
+    got = auto.get_action_probs(params, obs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
