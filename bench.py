@@ -1,28 +1,40 @@
-"""Headline benchmark: collection steps/second.
+"""Headline benchmark: END-TO-END training steps/second (+ collection-only).
 
-Mirrors the reference's headline number — ~70,000 collected steps/sec
-(player-steps, policy inference included) on an i5-11400 + RTX 3060 Ti
-(/root/reference/README.md:7-8; steps counted per player,
-ThreadAgent.cpp:158). Here the same quantity is measured for the jitted
-rollout scan (physics + obs + reward + policy forward fused in one program)
-on whatever device JAX gives us.
+The reference's published numbers (/root/reference/README.md:7-8) are
+~70,000 collected steps/sec and an honest per-iteration "Overall
+Steps/Second" (Learner.cpp:541-570) that includes GAE + PPO consumption.
+This benchmark measures both for the TPU build:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+  - overall:    the fused train step (rollout scan + GAE + PPO in ONE
+                compiled program — learn/train_step.py, the path
+                Learner.learn takes at reference-default config shape),
+  - collection: the rollout scan alone (physics + obs + reward + policy
+                forward), the analog of the reference's collection sps.
+
+PPO config mirrors examplemain.cpp:115-124 economics: one whole-window
+batch per iteration, 1 epoch, 3x256 nets. Steps are player-steps
+(ThreadAgent.cpp:158).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}
+where the headline value is the overall (end-to-end) number.
 """
 
 import json
 import time
 
 import jax
-import jax.numpy as jnp
 
-BASELINE_SPS = 70_000.0   # reference README.md:8
+BASELINE_SPS = 70_000.0   # reference README.md:8 (collection ~= overall
+                          # steady-state with collection-during-learn)
 
 
 def main():
     from rlgymppo_cpp_tpu.gym import Gym
+    from rlgymppo_cpp_tpu.learn.config import LearnerConfig, PPOLearnerConfig
+    from rlgymppo_cpp_tpu.learn.ppo_learner import PPOLearner
     from rlgymppo_cpp_tpu.learn.rollout import RolloutCollector
-    from rlgymppo_cpp_tpu.models.discrete_policy import DiscretePolicy
+    from rlgymppo_cpp_tpu.learn.train_step import make_train_step
+    from rlgymppo_cpp_tpu.ops.welford import welford_init
     from __graft_entry__ import _make_match
 
     platform = jax.devices()[0].platform
@@ -31,37 +43,58 @@ def main():
 
     match = _make_match(team_size=1, spawn_opponents=True)
     gym = Gym(match, num_envs=num_envs, tick_skip=8)
-    policy = DiscretePolicy(gym.obs_size, gym.action_amount,
-                            layer_sizes=(256, 256, 256))
-    params = policy.init(jax.random.PRNGKey(0))
-    collector = RolloutCollector(gym, policy)
+    P = gym.num_players
+    batch = horizon * num_envs * P
+
+    cfg = LearnerConfig(num_envs=num_envs)
+    cfg.ppo = PPOLearnerConfig(batch_size=batch, epochs=1,
+                               mini_batch_size=0)
+    ppo = PPOLearner(gym.obs_size, gym.action_amount, cfg.ppo)
+    train_state = ppo.init(jax.random.PRNGKey(0))
+    return_stats = welford_init(1)
 
     key = jax.random.PRNGKey(1)
     key, sub = jax.random.split(key)
     gym_state, obs = gym.reset(sub)
 
-    # Warmup / compile
+    # ---- overall: fused train step ----
+    step = make_train_step(gym, ppo, cfg, horizon)
     key, sub = jax.random.split(key)
-    gym_state, obs, traj, _ = collector.collect(
-        params, gym_state, obs, sub, horizon)
-    jax.block_until_ready(traj["rewards"])
+    out = step(train_state, gym_state, obs, return_stats, sub)  # compile
+    jax.block_until_ready(out[-1]["entropy"])
+    train_state, gym_state, obs, return_stats, _ = out
 
     iters = 5 if platform == "tpu" else 2
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        key, sub = jax.random.split(key)
+        train_state, gym_state, obs, return_stats, metrics = step(
+            train_state, gym_state, obs, return_stats, sub)
+    jax.block_until_ready(metrics["entropy"])
+    overall_sps = iters * batch / (time.perf_counter() - t0)
+
+    # ---- collection only ----
+    collector = RolloutCollector(gym, ppo.policy)
+    params = train_state["policy"]
+    key, sub = jax.random.split(key)
+    gym_state, obs, traj, _ = collector.collect(
+        params, gym_state, obs, sub, horizon)   # compile
+    jax.block_until_ready(traj["rewards"])
     t0 = time.perf_counter()
     for _ in range(iters):
         key, sub = jax.random.split(key)
         gym_state, obs, traj, _ = collector.collect(
             params, gym_state, obs, sub, horizon)
     jax.block_until_ready(traj["rewards"])
-    dt = time.perf_counter() - t0
+    collect_sps = iters * batch / (time.perf_counter() - t0)
 
-    player_steps = iters * horizon * num_envs * gym.num_players
-    sps = player_steps / dt
     print(json.dumps({
-        "metric": "collection_steps_per_sec",
-        "value": round(sps, 1),
+        "metric": "overall_steps_per_sec",
+        "value": round(overall_sps, 1),
         "unit": "player-steps/s",
-        "vs_baseline": round(sps / BASELINE_SPS, 3),
+        "vs_baseline": round(overall_sps / BASELINE_SPS, 3),
+        "collection_steps_per_sec": round(collect_sps, 1),
+        "collection_vs_baseline": round(collect_sps / BASELINE_SPS, 3),
     }))
 
 

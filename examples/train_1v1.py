@@ -66,13 +66,25 @@ def main():
     ap.add_argument("--no-metrics", action="store_true")
     ap.add_argument("--render", action="store_true")
     ap.add_argument("--skill-tracker", action="store_true")
+    ap.add_argument("--mesh", action="store_true",
+                    help="collide against the SDF-baked triangle-mesh "
+                         "arena (sim/soccar_mesh.py) instead of the "
+                         "analytic plane soup")
+    ap.add_argument("--fused", action="store_true",
+                    help="reference-default economics (buffer == batch == "
+                         "one iteration window) so the Learner takes the "
+                         "fused single-program train step")
     args = ap.parse_args()
 
     ts_per_itr = 100_000
+    if args.fused:
+        # fused eligibility needs horizon * envs * players == batch size
+        players = args.envs * 2
+        ts_per_itr = max(1, round(ts_per_itr / players)) * players
     cfg = LearnerConfig(
         num_envs=args.envs,
         timesteps_per_iteration=ts_per_itr,
-        exp_buffer_size=ts_per_itr * 3,
+        exp_buffer_size=ts_per_itr if args.fused else ts_per_itr * 3,
         timestep_limit=args.timesteps,
         ppo=PPOLearnerConfig(
             batch_size=ts_per_itr,
@@ -92,8 +104,16 @@ def main():
         checkpoint_load_folder="checkpoints/train_1v1",
     )
 
+    if args.fused:
+        cfg.ppo.mini_batch_size = 0
+
+    geom = None
+    if args.mesh:
+        from rlgymppo_cpp_tpu.sim.soccar_mesh import make_soccar_mesh_geom
+        geom = make_soccar_mesh_geom()
+
     match = make_match()
-    gym = Gym(match, num_envs=cfg.num_envs, tick_skip=TICK_SKIP)
+    gym = Gym(match, num_envs=cfg.num_envs, tick_skip=TICK_SKIP, geom=geom)
     learner = Learner(gym, cfg)
     learner.iteration_callback = on_iteration
     learner.learn(iterations=args.iterations)

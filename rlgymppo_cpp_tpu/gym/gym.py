@@ -77,14 +77,21 @@ class Gym:
                  car_config=CAR_CONFIG_OCTANE,
                  game_mode: GameMode = GameMode.SOCCAR,
                  mutator_config: MutatorConfig = None,
-                 event_tracker_config: GameEventTrackerConfig = None):
+                 event_tracker_config: GameEventTrackerConfig = None,
+                 arena_config=None, geom=None):
+        """`geom` swaps the arena's static world: None -> the analytic
+        plane soup; a sim.mesh_geom.MeshGeom -> SDF-baked triangle meshes
+        (the analog of RocketSim::Init loading .cmf meshes,
+        RocketSim.cpp:102-212). Every suspension ray and ball/car world
+        contact inside training then queries the mesh world."""
         self.match = match
         self.num_envs = num_envs
         self.tick_skip = tick_skip
         self.action_delay = tick_skip - 1
         self.arena = Arena(game_mode=game_mode, teams=match.teams,
                            car_config=car_config,
-                           mutator_config=mutator_config)
+                           mutator_config=mutator_config,
+                           arena_config=arena_config, geom=geom)
         self.num_players = self.arena.num_players
         self.event_tracker = GameEventTracker(self.arena,
                                               event_tracker_config)

@@ -62,6 +62,11 @@ class Learner:
         self.step_metrics_fn = step_metrics_fn
         self.mesh = mesh
         cfg = self.config
+        if cfg.save_folder_add_unix_timestamp and cfg.checkpoint_save_folder:
+            # LearnerConfig.h:58-60: suffix the save folder with the run's
+            # unix start time so successive runs never collide
+            cfg.checkpoint_save_folder = (
+                f"{cfg.checkpoint_save_folder}-{int(time.time())}")
         self.multi = isinstance(gym, (list, tuple))
         self.gym = gym
 
@@ -125,6 +130,21 @@ class Learner:
         self._last_save_ts = 0
         self.run_id = None
 
+        # The reference's default economics collect exactly one batch per
+        # iteration and consume it whole (examplemain.cpp:115-124). When
+        # the config matches that shape, the whole iteration fuses into
+        # ONE compiled program (learn/train_step.py) — no host round trips
+        # between collect, GAE and PPO. This is the TPU headline path;
+        # the eager 3-phase path below covers every other configuration.
+        self._train_step = None
+        self._fused_eligible = (
+            not self.multi
+            and not cfg.render_mode
+            and not cfg.ppo.measure_gradient_noise
+            and cfg.exp_buffer_size == cfg.ppo.batch_size
+            and self.steps_per_iter * self.players_per_step
+            == cfg.ppo.batch_size)
+
         if cfg.checkpoint_load_folder:
             self.load()
 
@@ -140,6 +160,15 @@ class Learner:
         if cfg.render_mode:
             from rlgymppo_cpp_tpu.utils.render_sender import RenderSender
             self.render_sender = RenderSender(gym)
+            # The reference forces render mode down to a single tiny env
+            # (Learner.cpp:38-51). The Gym is user-built here, so enforce
+            # the spirit of that override loudly instead of silently
+            # rendering one env out of thousands.
+            if not self.multi and gym.num_envs > 16:
+                print(f"Learner: WARNING render_mode with {gym.num_envs} "
+                      "envs — rendering uses env 0 only and paces in real "
+                      "time; build the Gym with num_envs<=16 for render "
+                      "runs (the reference forces 1, Learner.cpp:38-51)")
 
     # ------------------------------------------------------------ checkpoint
 
@@ -207,6 +236,17 @@ class Learner:
         self._last_save_ts = self.total_timesteps
 
     # -------------------------------------------------------------- pipeline
+
+    def _rollout_policy_params(self):
+        """Params the rollout scan infers with. With bf16_inference, a
+        bfloat16 copy of the policy (the halfPrecModels analog,
+        PPOLearner.cpp:41-53): matmuls run bf16 on the MXU, activations
+        still accumulate f32 (models/mlp.py), learn stays full precision."""
+        params = self.train_state["policy"]
+        if self.config.ppo.bf16_inference:
+            params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16), params)
+        return params
 
     def _predict_values(self, obs_seq):
         """Critic over [T+1, B, O] in one fused call."""
@@ -281,6 +321,66 @@ class Learner:
             "advantages": advantages.reshape(T * B),
         })
 
+    # ------------------------------------------------------------ fused path
+
+    def _iterate_fused(self, report: Report):
+        """One iteration through the fused single-program train step.
+        Returns the number of player-steps collected."""
+        cfg = self.config
+        if self._train_step is None:
+            from rlgymppo_cpp_tpu.learn.train_step import make_train_step
+            self._train_step = make_train_step(
+                self.gym, self.ppo, cfg, self.steps_per_iter,
+                deterministic=cfg.deterministic,
+                step_metrics_fn=self.step_metrics_fn)
+        self.key, sub = jax.random.split(self.key)
+        (self.train_state, self._gym_state, self._obs, self.return_stats,
+         metrics) = self._train_step(
+            self.train_state, self._gym_state, self._obs,
+            self.return_stats, sub)
+        self.ppo.cumulative_model_updates += cfg.ppo.epochs
+
+        m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        report["Average Step Reward"] = m.pop("avg_step_reward")
+        report["Average Episode Reward"] = m.pop("avg_episode_reward")
+        report["Policy Entropy"] = m.pop("entropy")
+        report["Mean KL Divergence"] = m.pop("kl")
+        report["Mean Ratio"] = m.pop("ratio")
+        report["Value Function Loss"] = m.pop("value_loss")
+        report["SB3 Clip Fraction"] = m.pop("clip_fraction")
+        report["Policy Update Magnitude"] = m.pop("policy_update_mag")
+        report["Value Function Update Magnitude"] = m.pop("value_update_mag")
+        report["Avg Return"] = m.pop("avg_return")
+        report["Avg Advantage"] = m.pop("avg_advantage")
+        report["Avg Val Target"] = m.pop("avg_val_target")
+        report["Cumulative Model Updates"] = self.ppo.cumulative_model_updates
+        self._last_game_metrics = dict(m)
+        for k, v in m.items():
+            if k != "episodes_finished":
+                report[k] = v
+        return self.steps_per_iter * self.players_per_step
+
+    def _post_iteration(self, report: Report, ts_collected: int):
+        """Skill eval, callbacks, metric send, periodic save — shared by
+        the fused and eager iteration paths (Learner.cpp:527-597)."""
+        cfg = self.config
+        if self.skill_tracker is not None:
+            ratings = self.skill_tracker.run_games(
+                self.train_state["policy"], ts_collected)
+            for mode, r in ratings.items():
+                report[f"Skill Rating {mode}".strip()] = r
+
+        if self.iteration_callback:
+            self.iteration_callback(self, report)
+        if self.metric_sender is not None:
+            self.metric_sender.send(report)
+
+        if cfg.checkpoint_save_folder and cfg.timesteps_per_save and (
+                self.total_timesteps - self._last_save_ts
+                >= cfg.timesteps_per_save):
+            self.save()
+            self._last_save_ts = self.total_timesteps
+
     # ------------------------------------------------------------------ main
 
     def learn(self, iterations=None):
@@ -311,12 +411,27 @@ class Learner:
             report = Report()
             iter_timer = Timer()
 
+            if self._fused_eligible:
+                ts_collected = self._iterate_fused(report)
+                self.total_timesteps += ts_collected
+                self.total_epochs += cfg.ppo.epochs
+                iter_time = iter_timer.elapsed()
+                # collect/GAE/PPO are one device program here; the split
+                # timings of the eager path don't exist. Overall SPS is
+                # the honest number (Learner.cpp:541-570).
+                report["Total Iteration Time"] = iter_time
+                report["Overall Steps/Second"] = ts_collected / max(
+                    iter_time, 1e-9)
+                report["Cumulative Timesteps"] = self.total_timesteps
+                self._post_iteration(report, ts_collected)
+                continue
+
             # ---- collection ----
             self.key, sub = jax.random.split(self.key)
             if self.render_sender is not None:
                 self._gym_state, self._obs, traj, col_metrics = \
                     self.collector.collect_rendered(
-                        self.train_state["policy"], self._gym_state,
+                        self._rollout_policy_params(), self._gym_state,
                         self._obs, sub, self.steps_per_iter,
                         self.render_sender, cfg.render_time_scale)
             elif cfg.collection_during_learn:
@@ -328,18 +443,18 @@ class Learner:
                 # host round trip.
                 if self._pending_rollout is None:
                     self._pending_rollout = self.collector.collect(
-                        self.train_state["policy"], self._gym_state,
+                        self._rollout_policy_params(), self._gym_state,
                         self._obs, sub, self.steps_per_iter)
                     self.key, sub = jax.random.split(self.key)
                 self._gym_state, self._obs, traj, col_metrics = \
                     self._pending_rollout
                 self._pending_rollout = self.collector.collect(
-                    self.train_state["policy"], self._gym_state,
+                    self._rollout_policy_params(), self._gym_state,
                     self._obs, sub, self.steps_per_iter)
             else:
                 self._gym_state, self._obs, traj, col_metrics = \
                     self.collector.collect(
-                        self.train_state["policy"], self._gym_state,
+                        self._rollout_policy_params(), self._gym_state,
                         self._obs, sub, self.steps_per_iter)
             jax.block_until_ready(traj["rewards"])
             collect_time = iter_timer.elapsed()
@@ -370,13 +485,6 @@ class Learner:
 
             self.total_epochs += cfg.ppo.epochs
 
-            # ---- skill eval (Learner.cpp:527-538) ----
-            if self.skill_tracker is not None:
-                ratings = self.skill_tracker.run_games(
-                    self.train_state["policy"], ts_collected)
-                for mode, r in ratings.items():
-                    report[f"Skill Rating {mode}".strip()] = r
-
             # ---- accounting (Learner.cpp:541-570) ----
             # With pipelined collection, collect+consume can exceed the
             # iteration wall time; the overlap-corrected "true collection
@@ -393,17 +501,7 @@ class Learner:
             report["Overall Steps/Second"] = ts_collected / max(
                 iter_time, 1e-9)
             report["Cumulative Timesteps"] = self.total_timesteps
-
-            if self.iteration_callback:
-                self.iteration_callback(self, report)
-            if self.metric_sender is not None:
-                self.metric_sender.send(report)
-
-            if cfg.checkpoint_save_folder and cfg.timesteps_per_save and (
-                    self.total_timesteps - self._last_save_ts
-                    >= cfg.timesteps_per_save):
-                self.save()
-                self._last_save_ts = self.total_timesteps
+            self._post_iteration(report, ts_collected)
 
         total = total_timer.elapsed()
         if total > 0:

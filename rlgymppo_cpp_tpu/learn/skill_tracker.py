@@ -171,9 +171,13 @@ class SkillTracker:
 
         gym = self.gym
         N = gym.num_envs
-        # simTime split over games; lockstep => steps per env
-        num_steps = max(1, int(
-            cfg.max_eval_seconds * 120 / gym.tick_skip / N))
+        # The reference splits simTime across games because each CPU game
+        # costs wall time (SkillTracker.cpp:185 simTime/numEnvs). On a
+        # lockstep device batch, stepping all N envs costs the same as one,
+        # so every env runs the FULL sim-time horizon — N x the reference's
+        # goal sample per eval at equal device time, which keeps the ELO
+        # signal from starving at large N.
+        num_steps = max(1, int(cfg.max_eval_seconds * 120 / gym.tick_skip))
 
         if self._gym_state is None:
             self._key, sub = jax.random.split(self._key)

@@ -1,29 +1,33 @@
 """Fully-fused training step: rollout scan + GAE + PPO inside ONE jit.
 
-The Learner's iteration loop (learner.py) mirrors the reference's host
-orchestration — collect, AddNewExperience, Learn — with a host sync between
-phases. This module is the TPU fast path with no host round trips at all:
-one compiled program collects a [T, N, P] window, runs the critic over it,
-computes GAE with the Welford return-std, and consumes the fresh window as
-the PPO batch (epochs x shuffled minibatches). This is the natural
-single-program expression of the reference's collect/learn pipeline
-(Learner.cpp:436-606) when the experience window equals the batch, and it
-is what the multi-chip dryrun and the benchmark drive: with env state
-sharded over the mesh's `env` axis and params replicated (or TP-sharded),
-XLA turns the minibatch gradient means into psums over ICI automatically.
-"""
+The Learner's eager path mirrors the reference's host orchestration —
+collect, AddNewExperience, Learn — with a host sync between phases. This
+module is the TPU fast path with no host round trips at all: one compiled
+program collects a [T, N, P] window, runs the critic over it, computes GAE
+with the Welford return-std, and consumes the fresh window as the PPO batch
+(epochs x minibatch scans). It is the natural single-program expression of
+the reference's collect/learn pipeline (Learner.cpp:436-606) when the
+experience window equals the batch — the reference's own default economics
+(examplemain.cpp:115-124 collects exactly one batch per iteration).
 
-import functools
+`Learner.learn` routes through this whenever the config matches that shape
+(see Learner._fused_eligible); the multi-chip dryrun and bench.py drive it
+too: with env state sharded over the mesh's `env` axis and params
+replicated (or TP-sharded), XLA turns the minibatch gradient means into
+psums over ICI automatically.
+"""
 
 import jax
 import jax.numpy as jnp
 
 from rlgymppo_cpp_tpu.learn.rollout import RolloutCollector
+from rlgymppo_cpp_tpu.learn.ppo_learner import _params_vector_norm_diff
 from rlgymppo_cpp_tpu.ops.gae import compute_gae
 from rlgymppo_cpp_tpu.ops.welford import welford_std, welford_update_batch
 
 
-def make_train_step(gym, ppo, cfg, horizon):
+def make_train_step(gym, ppo, cfg, horizon, deterministic=False,
+                    step_metrics_fn=None):
     """Build the fused step.
 
     Returns a jitted fn:
@@ -31,9 +35,13 @@ def make_train_step(gym, ppo, cfg, horizon):
         -> (train_state', gym_state', obs', return_stats', metrics)
 
     `horizon` is the number of env-steps collected per call; the PPO batch
-    is the whole window (T * N * P rows).
+    is the whole window (T * N * P rows). metrics is a dict of device
+    scalars: PPO stats (entropy/kl/ratio/value_loss/clip_fraction/
+    policy_update_mag/value_update_mag), GAE stats (avg_return/
+    avg_advantage/avg_val_target), and the collector metrics.
     """
-    collector = RolloutCollector(gym, ppo.policy)
+    collector = RolloutCollector(gym, ppo.policy, deterministic=deterministic,
+                                 step_metrics_fn=step_metrics_fn)
     N, P, O = gym.num_envs, gym.num_players, gym.obs_size
     total = horizon * N * P
     ppo_cfg = ppo.config
@@ -45,8 +53,14 @@ def make_train_step(gym, ppo, cfg, horizon):
     @jax.jit
     def train_step(train_state, gym_state, obs, return_stats, key):
         k_col, k_shuf = jax.random.split(key)
+        rollout_params = train_state["policy"]
+        if ppo_cfg.bf16_inference:
+            # halfPrecModels analog (PPOLearner.cpp:41-53): the rollout
+            # infers with a bf16 param copy; learn stays f32
+            rollout_params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16), rollout_params)
         gym_state, last_obs, traj, col_metrics = collector.collect(
-            train_state["policy"], gym_state, obs, k_col, horizon)
+            rollout_params, gym_state, obs, k_col, horizon)
 
         T = horizon
         B = N * P
@@ -79,15 +93,37 @@ def make_train_step(gym, ppo, cfg, horizon):
             "advantages": advantages.reshape(total),
         }
 
-        metrics_acc = None
-        for _ in range(ppo_cfg.epochs):
-            k_shuf, sub = jax.random.split(k_shuf)
-            perm = jax.random.permutation(sub, total)
-            shuffled = jax.tree.map(lambda x: x[perm], batch)
-            train_state, m = ppo._train_batch(train_state, shuffled)
-            metrics_acc = m if metrics_acc is None else jax.tree.map(
-                jnp.add, metrics_acc, m)
-        metrics = jax.tree.map(lambda x: x / ppo_cfg.epochs, metrics_acc)
+        policy_before = train_state["policy"]
+        critic_before = train_state["value"]
+
+        # One optimizer step per batch and one batch per epoch: a row
+        # shuffle cannot change the update when mini_batch == batch
+        # (gradients sum over the whole batch); shuffle only when real
+        # minibatching makes order matter.
+        shuffle = ppo_cfg.mini_batch_size not in (0, ppo_cfg.batch_size)
+
+        def epoch_body(carry, _):
+            ts, k = carry
+            if shuffle:
+                k, sub = jax.random.split(k)
+                perm = jax.random.permutation(sub, total)
+                b = jax.tree.map(lambda x: x[perm], batch)
+            else:
+                b = batch
+            ts, m = ppo._train_batch(ts, b)
+            return (ts, k), m
+
+        (train_state, _), ms = jax.lax.scan(
+            epoch_body, (train_state, k_shuf), None, length=ppo_cfg.epochs)
+        metrics = jax.tree.map(lambda x: jnp.mean(x, axis=0), ms)
+
+        metrics["policy_update_mag"] = _params_vector_norm_diff(
+            policy_before, train_state["policy"])
+        metrics["value_update_mag"] = _params_vector_norm_diff(
+            critic_before, train_state["value"])
+        metrics["avg_return"] = jnp.mean(jnp.abs(returns)) / ret_std
+        metrics["avg_advantage"] = jnp.mean(jnp.abs(advantages))
+        metrics["avg_val_target"] = jnp.mean(jnp.abs(value_targets))
         metrics.update(col_metrics)
         return train_state, gym_state, last_obs, return_stats, metrics
 

@@ -1,0 +1,128 @@
+"""Triangulated soccar arena + mesh-world construction.
+
+The reference ships the soccar arena as dumped `.cmf` triangle meshes
+(RocketSim.cpp:102-212 loads them, CollisionMeshFile.cpp parses). Those
+dumps are proprietary game data and are not vendored here; instead this
+module *generates* an equivalent arena shell — floor, ceiling, side walls,
+45-degree corner wedges, back walls with goal openings, and full goal
+boxes (same dimensions as sim/arena_geom.py's plane soup) — writes it
+through the real `.cmf` pipeline (save_cmf -> native parse/hash/validate ->
+SDF bake), and returns a MeshGeom the Arena/Gym/Learner can train on.
+
+If official `.cmf` dumps ARE available (e.g. a `collision_meshes/soccar/`
+folder like the reference uses), pass their paths to
+`MeshGeom.from_cmf` directly instead — the hash whitelist in
+sim/mesh_loader.py will recognize them.
+"""
+
+import os
+import tempfile
+
+import numpy as np
+
+from rlgymppo_cpp_tpu.sim import constants as C
+from rlgymppo_cpp_tpu.sim.arena_geom import (
+    GOAL_HALF_WIDTH, GOAL_HEIGHT, BACK_NET_Y, CEILING_Z,
+    CORNER_INTERSECTION,
+)
+
+
+class _MeshBuilder:
+    def __init__(self):
+        self.verts = []
+        self.tris = []
+
+    def quad(self, a, b, c, d):
+        """Two triangles for the planar quad a-b-c-d (in order)."""
+        i = len(self.verts)
+        self.verts += [a, b, c, d]
+        self.tris += [(i, i + 1, i + 2), (i, i + 2, i + 3)]
+
+    def arrays(self):
+        return (np.asarray(self.tris, np.int32),
+                np.asarray(self.verts, np.float32))
+
+
+def make_soccar_mesh():
+    """-> (tris int32 [T, 3], verts float32 [V, 3]) for the soccar shell.
+
+    Same surfaces as arena_geom.make_soccar_geom so mesh-world training is
+    directly comparable to the plane-soup world; the difference under test
+    is the collision *backend* (SDF grid vs analytic planes)."""
+    ex, ey, ez = C.ARENA_EXTENT_X, C.ARENA_EXTENT_Y, CEILING_Z
+    gw, gh, ny = GOAL_HALF_WIDTH, GOAL_HEIGHT, BACK_NET_Y
+    yw = CORNER_INTERSECTION - ex          # side-wall y extent (3968)
+    xw = CORNER_INTERSECTION - ey          # back-wall x extent (2944)
+
+    m = _MeshBuilder()
+
+    # Floor (whole bowl incl. goal mouths) and ceiling
+    m.quad((-ex, -ny, 0), (ex, -ny, 0), (ex, ny, 0), (-ex, ny, 0))
+    m.quad((-ex, -ey, ez), (ex, -ey, ez), (ex, ey, ez), (-ex, ey, ez))
+
+    # Side walls x = +/-ex over the un-wedged y span
+    for sx in (1.0, -1.0):
+        m.quad((sx * ex, -yw, 0), (sx * ex, yw, 0),
+               (sx * ex, yw, ez), (sx * ex, -yw, ez))
+
+    # 45-degree corner wedges: from (sx*ex, sy*yw) to (sx*xw, sy*ey)
+    for sx in (1.0, -1.0):
+        for sy in (1.0, -1.0):
+            a = (sx * ex, sy * yw)
+            b = (sx * xw, sy * ey)
+            m.quad((a[0], a[1], 0), (b[0], b[1], 0),
+                   (b[0], b[1], ez), (a[0], a[1], ez))
+
+    # Back walls y = +/-ey: 3 regions around the goal opening
+    for sy in (1.0, -1.0):
+        y = sy * ey
+        m.quad((-xw, y, gh), (xw, y, gh), (xw, y, ez), (-xw, y, ez))
+        m.quad((gw, y, 0), (xw, y, 0), (xw, y, gh), (gw, y, gh))
+        m.quad((-xw, y, 0), (-gw, y, 0), (-gw, y, gh), (-xw, y, gh))
+
+        # Goal box: net, side walls, roof
+        yn = sy * ny
+        m.quad((-gw, yn, 0), (gw, yn, 0), (gw, yn, gh), (-gw, yn, gh))
+        for sx in (1.0, -1.0):
+            m.quad((sx * gw, y, 0), (sx * gw, yn, 0),
+                   (sx * gw, yn, gh), (sx * gw, y, gh))
+        m.quad((-gw, y, gh), (gw, y, gh), (gw, yn, gh), (-gw, yn, gh))
+
+    return m.arrays()
+
+
+SOCCAR_SDF_DIMS = (128, 176, 48)
+SOCCAR_BOUNDS_MIN = (-C.ARENA_EXTENT_X - 64.0, -BACK_NET_Y - 64.0, -64.0)
+SOCCAR_BOUNDS_MAX = (C.ARENA_EXTENT_X + 64.0, BACK_NET_Y + 64.0,
+                     CEILING_Z + 64.0)
+
+
+def make_soccar_mesh_geom(dims=SOCCAR_SDF_DIMS, band=300.0, cache_dir=None):
+    """Generate the arena shell, round-trip it through the .cmf pipeline
+    (write -> native parse + hash + whitelist check -> SDF bake), and
+    return the baked MeshGeom.
+
+    The baked grids are cached as .npz next to the .cmf (one bake per
+    process tree; the bake is multithreaded C++ but still ~seconds)."""
+    from rlgymppo_cpp_tpu.sim.mesh_geom import MeshGeom
+    from rlgymppo_cpp_tpu.sim.mesh_loader import save_cmf, load_cmf, bake_sdf
+
+    cache_dir = cache_dir or os.path.join(
+        tempfile.gettempdir(), "rlgymppo_tpu_meshes")
+    os.makedirs(cache_dir, exist_ok=True)
+    cmf_path = os.path.join(cache_dir, "soccar_generated.cmf")
+    key = "x".join(map(str, dims))
+    npz_path = os.path.join(cache_dir, f"soccar_sdf_{key}.npz")
+
+    if os.path.exists(npz_path):
+        with np.load(npz_path) as z:
+            return MeshGeom(z["dist"], z["dirs"], z["bounds_min"], z["cell"])
+
+    tris, verts = make_soccar_mesh()
+    save_cmf(cmf_path, tris, verts)
+    tris2, verts2, _h = load_cmf(cmf_path)   # validating native parse
+    dist, dirs, bmin, cell = bake_sdf(
+        tris2, verts2, SOCCAR_BOUNDS_MIN, SOCCAR_BOUNDS_MAX, dims, band)
+    np.savez_compressed(npz_path, dist=dist, dirs=dirs, bounds_min=bmin,
+                        cell=cell)
+    return MeshGeom(dist, dirs, bmin, cell)

@@ -172,3 +172,89 @@ def test_end_to_end_learning_iteration(tmp_path):
     p2 = jax.tree.leaves(learner2.train_state["policy"])
     for a, b in zip(p1, p2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_learner_path(tmp_path):
+    """When buffer == batch == one iteration window (reference-default
+    economics, examplemain.cpp:115-124), Learner.learn must take the fused
+    single-program train step and produce a full report."""
+    from rlgymppo_cpp_tpu.gym import (
+        Gym, Match, DiscreteAction, DefaultOBS, CombinedReward,
+        VelocityPlayerToBallReward, FaceBallReward, NoTouchCondition,
+        GoalScoreCondition, RandomState,
+    )
+    from rlgymppo_cpp_tpu.learn import Learner, LearnerConfig, PPOLearnerConfig
+
+    match = Match(
+        reward_fn=CombinedReward([(VelocityPlayerToBallReward(), 1.0),
+                                  (FaceBallReward(), 0.25)]),
+        terminal_conditions=[NoTouchCondition(50), GoalScoreCondition()],
+        obs_builder=DefaultOBS(),
+        action_parser=DiscreteAction(),
+        state_setter=RandomState(True, True, True),
+        team_size=1, spawn_opponents=False,
+    )
+    gym = Gym(match, num_envs=8, tick_skip=8)
+    # horizon 16 -> window = 16 * 8 * 1 = 128 player-steps
+    cfg = LearnerConfig(
+        num_envs=8,
+        timesteps_per_iteration=128,
+        exp_buffer_size=128,
+        ppo=PPOLearnerConfig(
+            batch_size=128, mini_batch_size=0, epochs=2,
+            policy_layer_sizes=(32, 32), critic_layer_sizes=(32, 32)),
+        checkpoint_save_folder=str(tmp_path / "ckpt"),
+        checkpoint_load_folder=None,
+        timesteps_per_save=10_000,
+        send_metrics=False,
+    )
+    learner = Learner(gym, cfg)
+    assert learner._fused_eligible
+
+    reports = []
+    learner.iteration_callback = lambda lrn, rep: reports.append(rep)
+    p_before = jax.tree.leaves(learner.train_state["policy"])
+    p_before = [np.asarray(x).copy() for x in p_before]
+    learner.learn(iterations=2)
+
+    assert learner.total_timesteps == 2 * 128
+    assert learner.ppo.cumulative_model_updates == 2 * 2
+    assert len(reports) == 2
+    for rep in reports:
+        for k in ("Policy Entropy", "Mean KL Divergence",
+                  "Value Function Loss", "Overall Steps/Second",
+                  "Average Step Reward", "Policy Update Magnitude"):
+            assert k in rep, k
+            assert np.isfinite(rep[k]), (k, rep[k])
+    p_after = jax.tree.leaves(learner.train_state["policy"])
+    assert any(not np.allclose(a, b)
+               for a, b in zip(p_before, p_after))
+
+
+def test_fused_ineligible_configs():
+    """Buffer bigger than batch (replay across iterations) must keep the
+    eager 3-phase path."""
+    from rlgymppo_cpp_tpu.gym import (
+        Gym, Match, DiscreteAction, DefaultOBS, CombinedReward,
+        VelocityPlayerToBallReward, NoTouchCondition, RandomState,
+    )
+    from rlgymppo_cpp_tpu.learn import Learner, LearnerConfig, PPOLearnerConfig
+
+    match = Match(
+        reward_fn=CombinedReward([(VelocityPlayerToBallReward(), 1.0)]),
+        terminal_conditions=[NoTouchCondition(50)],
+        obs_builder=DefaultOBS(),
+        action_parser=DiscreteAction(),
+        state_setter=RandomState(True, True, True),
+        team_size=1, spawn_opponents=False,
+    )
+    gym = Gym(match, num_envs=8, tick_skip=8)
+    cfg = LearnerConfig(
+        num_envs=8, timesteps_per_iteration=128, exp_buffer_size=256,
+        ppo=PPOLearnerConfig(batch_size=128, mini_batch_size=64, epochs=1,
+                             policy_layer_sizes=(32,),
+                             critic_layer_sizes=(32,)),
+        checkpoint_load_folder=None, send_metrics=False,
+    )
+    learner = Learner(gym, cfg)
+    assert not learner._fused_eligible

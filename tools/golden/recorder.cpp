@@ -1,0 +1,377 @@
+// Golden-trace recorder: drives the reference RocketSim engine through scripted
+// scenarios and dumps tick-by-tick Car/Ball state as raw float32 binaries.
+// Consumed by tools/golden/convert_traces.py -> tests/golden/*.npz, asserted by
+// tests/test_golden_traces.py against the TPU-native engine.
+//
+// Reference entry points exercised:
+//   RocketSim::InitFromMem   (RocketSim.cpp:102-212)
+//   Arena::Create/Step       (Arena.cpp:429-566, 716-812)
+//   Car::SetState/GetState   (Car.h:146-147)
+//
+// The SOCCAR arena is initialized with a single minimal .cmf whose one
+// triangle sits flush in a far ceiling corner, outside every scenario's
+// reachable space. The arena's active collision geometry is then exactly its
+// four built-in analytic planes (floor/ceiling/side walls,
+// Arena.cpp:1060-1105) -- the same surfaces as the TPU engine's plane soup --
+// so traces compare car/ball dynamics, not mesh-vs-plane-soup geometry
+// differences. Scenarios stay in |y| < 3500 so the missing back walls
+// (mesh-based in the real game) are never touched.
+//
+// Trace format (little-endian float32 only):
+//   int32 magic 0x47545243 ("GTRC"), int32 version=1,
+//   int32 numRows, int32 numCars, int32 carFloats=46, int32 ballFloats=9
+//   then numRows rows: [cars x (8 controls + 38 state)] + [ball 9]
+// Row 0 is the initial state with zeroed controls; row t>0 holds the controls
+// applied on tick t and the state after Arena::Step(1).
+
+#include <cstdio>
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <functional>
+#include <map>
+#include <string>
+#include <vector>
+
+#include "RocketSim.h"
+
+using namespace RocketSim;
+
+// ---------------------------------------------------------------- trace file
+
+struct TraceWriter {
+    FILE* f;
+    int numCars;
+    TraceWriter(const std::string& path, int rows, int cars) : numCars(cars) {
+        f = fopen(path.c_str(), "wb");
+        if (!f) { perror("fopen"); exit(1); }
+        int32_t header[6] = {0x47545243, 1, rows, cars, 46, 9};
+        fwrite(header, sizeof(int32_t), 6, f);
+    }
+    void put(float v) { fwrite(&v, sizeof(float), 1, f); }
+    void putVec(const Vec& v) { put(v.x); put(v.y); put(v.z); }
+    void writeRow(Arena* arena, const std::vector<Car*>& cars,
+                  const std::vector<CarControls>& controls) {
+        for (int i = 0; i < numCars; i++) {
+            const CarControls& c = controls[i];
+            put(c.throttle); put(c.steer); put(c.pitch); put(c.yaw);
+            put(c.roll); put(c.jump); put(c.boost); put(c.handbrake);
+            CarState s = cars[i]->GetState();
+            putVec(s.pos);
+            putVec(s.rotMat.forward); putVec(s.rotMat.right);
+            putVec(s.rotMat.up);
+            putVec(s.vel); putVec(s.angVel);
+            put(s.isOnGround);
+            put(s.hasJumped); put(s.hasDoubleJumped); put(s.hasFlipped);
+            putVec(s.flipRelTorque);
+            put(s.jumpTime); put(s.flipTime);
+            put(s.isFlipping); put(s.isJumping);
+            put(s.airTime); put(s.airTimeSinceJump);
+            put(s.boost); put(s.timeSpentBoosting);
+            put(s.isSupersonic); put(s.supersonicTime);
+            put(s.handbrakeVal);
+            put(s.isAutoFlipping); put(s.autoFlipTimer);
+        }
+        BallState b = arena->ball->GetState();
+        putVec(b.pos); putVec(b.vel); putVec(b.angVel);
+    }
+    ~TraceWriter() { fclose(f); }
+};
+
+// ------------------------------------------------------------- control script
+
+// Piecewise-constant control schedule: each segment applies until tick
+// `until` (exclusive).
+struct Seg {
+    int until;
+    CarControls c;
+};
+using Script = std::vector<Seg>;
+
+static CarControls at(const Script& s, int tick) {
+    for (const auto& seg : s)
+        if (tick < seg.until) return seg.c;
+    return s.empty() ? CarControls{} : s.back().c;
+}
+
+static CarControls ctl(float throttle = 0, float steer = 0, float pitch = 0,
+                       float yaw = 0, float roll = 0, bool jump = false,
+                       bool boost = false, bool handbrake = false) {
+    CarControls c = {};
+    c.throttle = throttle; c.steer = steer; c.pitch = pitch; c.yaw = yaw;
+    c.roll = roll; c.jump = jump; c.boost = boost; c.handbrake = handbrake;
+    return c;
+}
+
+// ----------------------------------------------------------------- scenarios
+
+struct Scenario {
+    std::string name;
+    int numTicks;
+    int numCars;
+    // set initial car/ball states; car[i] already added on BLUE/ORANGE alt.
+    std::function<void(Arena*, std::vector<Car*>&)> setup;
+    // per-car control scripts
+    std::vector<Script> scripts;
+};
+
+static CarState carAt(Vec pos, float yaw = 0, float pitch = 0, float roll = 0,
+                      Vec vel = {0, 0, 0}, Vec angVel = {0, 0, 0},
+                      float boost = 100.f / 3) {
+    CarState cs = {};
+    cs.pos = pos;
+    cs.rotMat = Angle(yaw, pitch, roll).ToRotMat();
+    cs.vel = vel;
+    cs.angVel = angVel;
+    cs.boost = boost;
+    cs.isOnGround = false;  // recomputed by suspension on first tick
+    return cs;
+}
+
+static BallState ballAt(Vec pos, Vec vel = {0, 0, 0}, Vec angVel = {0, 0, 0}) {
+    BallState bs = {};
+    bs.pos = pos;
+    bs.vel = vel;
+    bs.angVel = angVel;
+    return bs;
+}
+
+// Ball parked in a far corner with zero velocity: zero-vel sleeping
+// (Arena.cpp:721-727) keeps it inert for car-only scenarios.
+static const Vec BALL_PARKED = Vec(3500, -3500, 93.15f);
+
+static constexpr float REST_Z = 17.01f;  // octane resting ride height
+
+int main(int argc, char** argv) {
+    std::string outDir = argc > 1 ? argv[1] : "traces";
+
+    // Minimal valid .cmf: one triangle flush in a far +x/-y ceiling corner.
+    {
+        struct __attribute__((packed)) {
+            int32_t numTris = 1, numVerts = 3;
+            int32_t tri[3] = {0, 1, 2};
+            float verts[9] = {
+                4090.f, -5115.f, 2043.f,
+                4095.f, -5115.f, 2043.f,
+                4095.f, -5110.f, 2043.f,
+            };
+        } cmf;
+        std::vector<char> bytes(sizeof(cmf));
+        memcpy(bytes.data(), &cmf, sizeof(cmf));
+        std::map<GameMode, std::vector<FileData>> files;
+        files[GameMode::SOCCAR].push_back(
+            FileData(bytes.begin(), bytes.end()));
+        RocketSim::InitFromMem(files, true);
+    }
+
+    std::vector<Scenario> scenarios;
+    auto add = [&](Scenario s) { scenarios.push_back(std::move(s)); };
+
+    auto soloSetup = [](CarState cs) {
+        return [cs](Arena* a, std::vector<Car*>& cars) {
+            cars[0]->SetState(cs);
+            a->ball->SetState(ballAt(BALL_PARKED));
+        };
+    };
+
+
+    // --- ground driving ---
+    add({"drive_throttle", 300, 1,
+         soloSetup(carAt({0, -1000, REST_Z}, 0)),
+         {{{300, ctl(1)}}}});
+    add({"drive_reverse", 240, 1,
+         soloSetup(carAt({0, 1000, REST_Z}, 0)),
+         {{{240, ctl(-1)}}}});
+    add({"drive_steer", 400, 1,
+         soloSetup(carAt({0, -2000, REST_Z}, 0)),
+         {{{400, ctl(1, 1)}}}});
+    add({"powerslide", 300, 1,
+         soloSetup(carAt({-1000, -1000, REST_Z}, 0, 0, 0, {1400, 0, 0})),
+         {{{300, ctl(1, 1, 0, 0, 0, false, false, true)}}}});
+    add({"brake", 200, 1,
+         soloSetup(carAt({-1500, 0, REST_Z}, 0, 0, 0, {1400, 0, 0})),
+         {{{200, ctl(-1)}}}});
+    add({"coast", 300, 1,
+         soloSetup(carAt({-1500, 500, REST_Z}, 0, 0, 0, {1000, 0, 0})),
+         {{{300, ctl()}}}});
+    add({"handbrake_tap", 150, 1,
+         soloSetup(carAt({0, 0, REST_Z}, 0, 0, 0, {900, 0, 0})),
+         {{{30, ctl(1)},
+           {45, ctl(1, 0, 0, 0, 0, false, false, true)},
+           {150, ctl(1)}}}});
+
+    // --- jumps / flips ---
+    add({"jump_hold", 200, 1,
+         soloSetup(carAt({0, 0, REST_Z}, 0)),
+         {{{25, ctl(0, 0, 0, 0, 0, true)}, {200, ctl()}}}});
+    add({"jump_tap", 200, 1,
+         soloSetup(carAt({0, 300, REST_Z}, 0)),
+         {{{4, ctl(0, 0, 0, 0, 0, true)}, {200, ctl()}}}});
+    add({"double_jump", 250, 1,
+         soloSetup(carAt({0, -300, REST_Z}, 0)),
+         {{{8, ctl(0, 0, 0, 0, 0, true)},
+           {30, ctl()},
+           {38, ctl(0, 0, 0, 0, 0, true)},
+           {250, ctl()}}}});
+    add({"flip_forward", 250, 1,
+         soloSetup(carAt({0, -800, REST_Z}, 0, 0, 0, {500, 0, 0})),
+         {{{8, ctl(0, 0, 0, 0, 0, true)},
+           {24, ctl()},
+           {32, ctl(0, 0, -1, 0, 0, true)},
+           {250, ctl()}}}});
+    add({"flip_sideways", 250, 1,
+         soloSetup(carAt({0, 800, REST_Z}, 0, 0, 0, {800, 0, 0})),
+         {{{8, ctl(0, 0, 0, 0, 0, true)},
+           {24, ctl()},
+           {32, ctl(0, 0, 0, 1, 0, true)},
+           {250, ctl()}}}});
+    add({"flip_cancel", 250, 1,
+         soloSetup(carAt({-500, 0, REST_Z}, 0, 0, 0, {600, 0, 0})),
+         {{{8, ctl(0, 0, 0, 0, 0, true)},
+           {24, ctl()},
+           {32, ctl(0, 0, -1, 0, 0, true)},
+           {40, ctl(0, 0, -1)},
+           {120, ctl(0, 0, 1)},   // hold pitch back: cancels the flip pitch
+           {250, ctl()}}}});
+    add({"auto_flip", 200, 1,
+         // on its roof: auto-flip on jump (Car.cpp:763-797)
+         soloSetup(carAt({500, 500, 40}, 0, 0, (float)M_PI)),
+         {{{40, ctl()}, {120, ctl(0, 0, 0, 0, 0, true)}, {200, ctl()}}}});
+
+    // --- boost / air control ---
+    add({"boost_ground", 300, 1,
+         soloSetup(carAt({-2000, -2500, REST_Z}, 0)),
+         {{{300, ctl(1, 0, 0, 0, 0, false, true)}}}});
+    add({"boost_tap", 150, 1,
+         // minimum boosting time (Car.cpp:477-505)
+         soloSetup(carAt({-1000, 2500, REST_Z}, 0)),
+         {{{5, ctl(0, 0, 0, 0, 0, false, true)}, {150, ctl()}}}});
+    add({"boost_air_pitched", 300, 1,
+         soloSetup(carAt({-2000, 0, 300}, 0, 0.6f, 0, {300, 0, 200})),
+         {{{300, ctl(0, 0, 0, 0, 0, false, true)}}}});
+    add({"air_pitch", 280, 1,
+         soloSetup(carAt({0, 0, 400}, 0, 0, 0, {0, 0, 1000})),
+         {{{140, ctl(0, 0, 1)}, {280, ctl(0, 0, -0.5f)}}}});
+    add({"air_yaw_roll", 280, 1,
+         soloSetup(carAt({500, -500, 400}, 0, 0, 0, {0, 0, 900})),
+         {{{140, ctl(0, 0, 0, 1, 0.5f)}, {280, ctl()}}}});
+    add({"air_damping", 300, 1,
+         // spin up then release: angular damping & clamp (5.5 rad/s)
+         soloSetup(carAt({0, 0, 600}, 0, 0, 0, {0, 0, 800},
+                         {0, 6.0f, 2.0f})),
+         {{{300, ctl()}}}});
+    add({"supersonic", 300, 1,
+         soloSetup(carAt({-3500, -1500, REST_Z}, 0, 0, 0, {2200, 0, 0})),
+         {{{300, ctl(1, 0, 0, 0, 0, false, true)}}}});
+
+    // --- walls / ceiling (side walls are analytic planes) ---
+    add({"wall_drive", 260, 1,
+         // on the -x side wall, nose +y, driving along the wall
+         soloSetup(carAt({-4096 + REST_Z, 0, 800},
+                         (float)(M_PI / 2), 0, (float)(-M_PI / 2),
+                         {0, 600, 0})),
+         {{{260, ctl(1)}}}});
+    add({"ceiling_stick", 200, 1,
+         soloSetup(carAt({0, 0, 2044 - REST_Z}, 0, 0, (float)M_PI,
+                         {800, 0, 0})),
+         {{{200, ctl(1)}}}});
+
+    // --- ball only (car parked far away, idle) ---
+    auto ballSetup = [](BallState bs) {
+        return [bs](Arena* a, std::vector<Car*>& cars) {
+            cars[0]->SetState(carAt({3600, 3600, REST_Z}, 0));
+            a->ball->SetState(bs);
+        };
+    };
+    add({"ball_drop", 400, 1,
+         ballSetup(ballAt({0, 0, 1000})),
+         {{{400, ctl()}}}});
+    add({"ball_roll", 400, 1,
+         ballSetup(ballAt({-1000, 0, 93.15f}, {1200, 300, 0})),
+         {{{400, ctl()}}}});
+    add({"ball_bounce_spin", 350, 1,
+         ballSetup(ballAt({0, -500, 400}, {800, 0, -1200}, {0, 3, 0})),
+         {{{350, ctl()}}}});
+    add({"ball_wall_bounce", 300, 1,
+         ballSetup(ballAt({-3000, 200, 600}, {-1800, 300, 200})),
+         {{{300, ctl()}}}});
+    add({"ball_arc", 450, 1,
+         ballSetup(ballAt({-800, -1500, 200}, {600, 400, 1400},
+                          {1, -2, 0.5f})),
+         {{{450, ctl()}}}});
+    add({"ball_fast_clamp", 300, 1,
+         // near the 6000 uu/s speed clamp + drag
+         ballSetup(ballAt({-2000, 0, 800}, {5900, 0, 500})),
+         {{{300, ctl()}}}});
+
+    // --- car-ball interaction ---
+    add({"car_ball_hit", 240, 1,
+         [](Arena* a, std::vector<Car*>& cars) {
+             cars[0]->SetState(
+                 carAt({-600, 0, REST_Z}, 0, 0, 0, {1400, 0, 0}));
+             a->ball->SetState(ballAt({0, 0, 93.15f}));
+         },
+         {{{240, ctl(1)}}}});
+    add({"car_ball_hit_angled", 240, 1,
+         [](Arena* a, std::vector<Car*>& cars) {
+             cars[0]->SetState(
+                 carAt({-500, -350, REST_Z}, 0.6f, 0, 0,
+                       {1100, 760, 0}));
+             a->ball->SetState(ballAt({0, 0, 93.15f}));
+         },
+         {{{240, ctl(1)}}}});
+    add({"car_ball_aerial", 200, 1,
+         [](Arena* a, std::vector<Car*>& cars) {
+             cars[0]->SetState(
+                 carAt({-400, 0, 300}, 0, 0.3f, 0, {900, 0, 300}));
+             a->ball->SetState(ballAt({200, 0, 500}, {0, 0, -100}));
+         },
+         {{{200, ctl(0, 0, 0, 0, 0, false, true)}}}});
+
+    // --- car-car ---
+    add({"car_bump", 200, 2,
+         [](Arena* a, std::vector<Car*>& cars) {
+             cars[0]->SetState(
+                 carAt({-1200, 0, REST_Z}, 0, 0, 0, {1800, 0, 0}));
+             cars[1]->SetState(carAt({0, 0, REST_Z}, 0));
+             a->ball->SetState(ballAt(BALL_PARKED));
+         },
+         {{{200, ctl(1)}}, {{200, ctl()}}}});
+    add({"car_demo", 200, 2,
+         [](Arena* a, std::vector<Car*>& cars) {
+             cars[0]->SetState(
+                 carAt({-1500, 0, REST_Z}, 0, 0, 0, {2250, 0, 0}));
+             cars[1]->SetState(carAt({0, 0, REST_Z},
+                                     (float)(M_PI / 2)));
+             a->ball->SetState(ballAt(BALL_PARKED));
+         },
+         {{{200, ctl(1, 0, 0, 0, 0, false, true)}}, {{200, ctl()}}}});
+
+    for (auto& sc : scenarios) {
+        Arena* arena = Arena::Create(GameMode::SOCCAR, {}, 120);
+        std::vector<Car*> cars;
+        for (int i = 0; i < sc.numCars; i++)
+            cars.push_back(arena->AddCar(
+                i % 2 == 0 ? Team::BLUE : Team::ORANGE));
+        sc.setup(arena, cars);
+
+        TraceWriter w(outDir + "/" + sc.name + ".bin",
+                      sc.numTicks + 1, sc.numCars);
+        std::vector<CarControls> zeros(sc.numCars);
+        w.writeRow(arena, cars, zeros);
+        for (int t = 0; t < sc.numTicks; t++) {
+            std::vector<CarControls> cs;
+            for (int i = 0; i < sc.numCars; i++) {
+                CarControls c = at(sc.scripts[i], t);
+                cars[i]->controls = c;
+                cs.push_back(c);
+            }
+            arena->Step(1);
+            w.writeRow(arena, cars, cs);
+        }
+        printf("%-20s %d ticks, %d cars\n", sc.name.c_str(), sc.numTicks,
+               sc.numCars);
+        delete arena;
+    }
+    return 0;
+}

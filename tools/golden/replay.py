@@ -1,0 +1,165 @@
+"""Replay recorded reference traces through the TPU-native engine.
+
+Shared by tests/test_golden_traces.py and the calibration report
+(tools/golden/report.py): loads a tests/golden/*.npz trace (see
+convert_traces.py for the layout), reconstructs the initial ArenaState,
+steps the Arena tick-for-tick with the recorded controls, and returns both
+trajectories for comparison.
+
+The traces were recorded against reference RocketSim built from
+/root/reference (Arena.cpp:716-812 tick loop) on a plane-only SOCCAR arena
+(see recorder.cpp), which matches the default analytic plane-soup world.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rlgymppo_cpp_tpu.sim.arena import Arena, GameMode
+from rlgymppo_cpp_tpu.sim.state import CarControls
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "..",
+                          "tests", "golden")
+
+# recorder.cpp car-state layout (name, width); keep in sync
+CAR_FIELDS = [
+    ("pos", 3), ("forward", 3), ("right", 3), ("up", 3),
+    ("vel", 3), ("ang_vel", 3),
+    ("is_on_ground", 1),
+    ("has_jumped", 1), ("has_double_jumped", 1), ("has_flipped", 1),
+    ("flip_rel_torque", 3),
+    ("jump_time", 1), ("flip_time", 1),
+    ("is_flipping", 1), ("is_jumping", 1),
+    ("air_time", 1), ("air_time_since_jump", 1),
+    ("boost", 1), ("time_spent_boosting", 1),
+    ("is_supersonic", 1), ("supersonic_time", 1),
+    ("handbrake_val", 1),
+    ("is_auto_flipping", 1), ("auto_flip_timer", 1),
+]
+
+_slices = {}
+_off = 0
+for _name, _w in CAR_FIELDS:
+    _slices[_name] = slice(_off, _off + _w)
+    _off += _w
+
+
+def load_trace(name):
+    """-> dict with controls [R, C, 8], per-field car arrays [R, C, w],
+    ball pos/vel/ang_vel [R, 3]."""
+    with np.load(os.path.join(GOLDEN_DIR, name + ".npz")) as z:
+        controls, car, ball = z["controls"], z["car"], z["ball"]
+    out = {"controls": controls,
+           "ball_pos": ball[:, 0:3], "ball_vel": ball[:, 3:6],
+           "ball_ang_vel": ball[:, 6:9]}
+    for fname, _ in CAR_FIELDS:
+        out[fname] = car[:, :, _slices[fname]]
+    # rot matrices with basis vectors as columns (forward, right, up),
+    # matching sim.state.CarState.rot
+    out["rot"] = np.stack(
+        [out.pop("forward"), out.pop("right"), out.pop("up")], axis=-1)
+    return out
+
+
+_ARENAS = {}
+
+
+def make_arena(num_cars):
+    if num_cars not in _ARENAS:
+        teams = tuple(i % 2 for i in range(num_cars))
+        _ARENAS[num_cars] = Arena(GameMode.SOCCAR, teams=teams)
+    return _ARENAS[num_cars]
+
+
+def initial_state(arena, tr):
+    """ArenaState for batch shape (1,) from trace row 0."""
+    st = arena.default_state(batch_shape=(1,))
+
+    def car_f(field, bool_=False):
+        v = tr[field][0][None]                       # [1, C, w]
+        if v.shape[-1] == 1:
+            v = v[..., 0]
+        return jnp.asarray(v.astype(bool if bool_ else np.float32))
+
+    cars = st.cars.replace(
+        pos=car_f("pos"), rot=jnp.asarray(tr["rot"][0][None]),
+        vel=car_f("vel"), ang_vel=car_f("ang_vel"),
+        is_on_ground=car_f("is_on_ground", True),
+        has_jumped=car_f("has_jumped", True),
+        has_double_jumped=car_f("has_double_jumped", True),
+        has_flipped=car_f("has_flipped", True),
+        flip_rel_torque=car_f("flip_rel_torque"),
+        jump_time=car_f("jump_time"), flip_time=car_f("flip_time"),
+        is_flipping=car_f("is_flipping", True),
+        is_jumping=car_f("is_jumping", True),
+        air_time=car_f("air_time"),
+        air_time_since_jump=car_f("air_time_since_jump"),
+        boost=car_f("boost"),
+        time_spent_boosting=car_f("time_spent_boosting"),
+        is_supersonic=car_f("is_supersonic", True),
+        supersonic_time=car_f("supersonic_time"),
+        handbrake_val=car_f("handbrake_val"),
+        is_auto_flipping=car_f("is_auto_flipping", True),
+        auto_flip_timer=car_f("auto_flip_timer"),
+    )
+    ball = st.ball.replace(
+        pos=jnp.asarray(tr["ball_pos"][0][None]),
+        vel=jnp.asarray(tr["ball_vel"][0][None]),
+        ang_vel=jnp.asarray(tr["ball_ang_vel"][0][None]),
+    )
+    return st.replace(cars=cars, ball=ball)
+
+
+def replay(name):
+    """Run the TPU engine under the trace's controls.
+
+    -> (trace dict, ours dict with the same keys/shapes [R, C, w]/[R, 3])
+    """
+    tr = load_trace(name)
+    R, C = tr["controls"].shape[:2]
+    arena = make_arena(C)
+    state = initial_state(arena, tr)
+    key = jax.random.PRNGKey(0)
+
+    rows = [_snapshot(state)]
+    tick = arena.tick_jit
+    for t in range(1, R):
+        c = tr["controls"][t]                         # [C, 8]
+        controls = CarControls(
+            throttle=jnp.asarray(c[None, :, 0]),
+            steer=jnp.asarray(c[None, :, 1]),
+            pitch=jnp.asarray(c[None, :, 2]),
+            yaw=jnp.asarray(c[None, :, 3]),
+            roll=jnp.asarray(c[None, :, 4]),
+            jump=jnp.asarray(c[None, :, 5] != 0),
+            boost=jnp.asarray(c[None, :, 6] != 0),
+            handbrake=jnp.asarray(c[None, :, 7] != 0),
+        )
+        state, _ = tick(state, controls, key)
+        rows.append(_snapshot(state))
+
+    ours = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+    return tr, ours
+
+
+def _snapshot(state):
+    c = state.cars
+    g = lambda x: np.asarray(x[0])
+    out = {
+        "pos": g(c.pos), "rot": g(c.rot), "vel": g(c.vel),
+        "ang_vel": g(c.ang_vel),
+        "ball_pos": g(state.ball.pos), "ball_vel": g(state.ball.vel),
+        "ball_ang_vel": g(state.ball.ang_vel),
+    }
+    for f in ("is_on_ground", "has_jumped", "has_double_jumped",
+              "has_flipped", "is_flipping", "is_jumping", "is_supersonic",
+              "is_auto_flipping"):
+        out[f] = g(getattr(c, f)).astype(np.float32)[:, None]
+    for f in ("jump_time", "flip_time", "air_time", "air_time_since_jump",
+              "boost", "time_spent_boosting", "supersonic_time",
+              "handbrake_val", "auto_flip_timer"):
+        out[f] = g(getattr(c, f))[:, None]
+    out["flip_rel_torque"] = g(c.flip_rel_torque)
+    return out
