@@ -130,10 +130,27 @@ class RLBotBot:
         self.prev_action = np.zeros(8, np.float32)
 
     def initialize_agent(self, teams):
-        self.infer_unit = InferUnit.from_checkpoint(
-            self.params.checkpoint_path, self.params.obs_builder,
-            self.params.action_parser, self.params.obs_size,
-            teams=teams)
+        import os
+        from rlgymppo_cpp_tpu.utils import checkpoint as ckpt
+        path = self.params.checkpoint_path
+        if ckpt.find_newest_checkpoint(path) or (
+                path and os.path.exists(
+                    os.path.join(path, "TRAIN_STATE.npz"))):
+            self.infer_unit = InferUnit.from_checkpoint(
+                path, self.params.obs_builder,
+                self.params.action_parser, self.params.obs_size,
+                teams=teams)
+        else:
+            # no trained checkpoint: random-init policy (mock/smoke runs)
+            import jax
+            print(f"RLBotBot: WARNING no checkpoint at {path!r}; using a "
+                  "randomly initialized policy")
+            self.infer_unit = InferUnit(
+                self.params.obs_builder, self.params.action_parser,
+                self.params.obs_size, teams,
+                layer_sizes=self.params.policy_layer_sizes)
+            self.infer_unit.policy_params = self.infer_unit.policy.init(
+                jax.random.PRNGKey(0))
 
     def get_output(self, packet):
         """GetOutput (RLBotClient.cpp:105-146): tick-skip action repeat
@@ -170,15 +187,11 @@ class RLBotBot:
 
 
 def run_bot(params: RLBotParams):
-    """RLBotClient::Run (RLBotClient.cpp:148-157): start a bot server via
-    the rlbot framework (optional dependency)."""
-    try:
-        import rlbot  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "The rlbot framework is not installed; install it in the "
-            "deployment environment to run a live bot. The RLBotBot class "
-            "itself has no rlbot dependency.") from e
-    raise NotImplementedError(
-        "Wire RLBotBot into your rlbot agent entry point (see rlbot docs); "
-        "RLBotBot.get_output is the frame hook.")
+    """RLBotClient::Run (RLBotClient.cpp:148-157): serve actions on a
+    localhost socket for any game-side client. For a full rlbot-framework
+    match launch use `python -m rlgymppo_cpp_tpu.deploy launch` (the
+    bundled deploy/rlbot/ harness mirrors the reference's rlbot/)."""
+    from rlgymppo_cpp_tpu.deploy.bot_server import BotServer
+    server = BotServer(params)
+    print(f"RLBot bot server on 127.0.0.1:{params.port}")
+    server.serve_forever()

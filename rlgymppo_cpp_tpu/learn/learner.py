@@ -128,6 +128,7 @@ class Learner:
         self._obs = None
         self._pending_rollout = None
         self._last_save_ts = 0
+        self._restore_env_path = None
         self.run_id = None
 
         # The reference's default economics collect exactly one batch per
@@ -195,12 +196,24 @@ class Learner:
             stats["skill_tracker"] = self.skill_tracker.state_dict()
             st = self.skill_tracker.state_dict()
             stats["skill_rating"] = st["cur_rating"]
+        # Deterministic resume (SURVEY §5.3, beyond the reference which
+        # saves neither): PRNG keys + live env state + experience buffer
+        # make save -> load -> N iterations equal an uninterrupted run.
+        stats["learner_prng_key"] = np.asarray(self.key).tolist()
         path = ckpt.save_checkpoint(
             cfg.checkpoint_save_folder, self.total_timesteps,
             self.train_state, stats, keep=cfg.checkpoints_to_keep)
         if self.skill_tracker is not None:
             for i, p in enumerate(self.skill_tracker.old_params):
                 ckpt.save_extra_tree(path, f"SKILL_POLICY_{i}", p)
+        if self._gym_state is not None:
+            ckpt.save_extra_tree(path, "ENV_STATE",
+                                 (self._gym_state, self._obs))
+        if self.exp_buffer.cur_size > 0:
+            ckpt.save_extra_tree(
+                path, "EXP_BUFFER",
+                {"data": self.exp_buffer.data,
+                 "cur_size": jnp.int32(self.exp_buffer.cur_size)})
         print(f"Learner: Saved checkpoint to {path}")
 
     def load(self):
@@ -233,6 +246,18 @@ class Learner:
                 mean=jnp.asarray(rs["mean"], jnp.float32),
                 m2=jnp.asarray(rs["m2"], jnp.float32),
                 count=jnp.asarray(rs["count"], jnp.int32))
+        pk = meta.get("learner_prng_key")
+        if pk is not None:
+            self.key = jnp.asarray(pk, jnp.uint32)
+        # Env/buffer state load is deferred to learn(): the pytree
+        # templates only exist after the first reset.
+        self._restore_env_path = path
+        buf = ckpt.load_extra_tree(
+            path, "EXP_BUFFER",
+            {"data": self.exp_buffer.data, "cur_size": jnp.int32(0)})
+        if buf is not None:
+            self.exp_buffer.data = buf["data"]
+            self.exp_buffer.cur_size = int(buf["cur_size"])
         self._last_save_ts = self.total_timesteps
 
     # -------------------------------------------------------------- pipeline
@@ -393,9 +418,19 @@ class Learner:
             else:
                 self._gym_state, self._obs = self.gym.reset(sub)
             if self.mesh is not None:
-                from rlgymppo_cpp_tpu.parallel import shard_env_tree
-                self._gym_state = shard_env_tree(self._gym_state, self.mesh)
-                self._obs = shard_env_tree(self._obs, self.mesh)
+                from rlgymppo_cpp_tpu.parallel import make_global_env_tree
+                self._gym_state = make_global_env_tree(
+                    self._gym_state, self.mesh)
+                self._obs = make_global_env_tree(self._obs, self.mesh)
+            if self._restore_env_path:
+                restored = ckpt.load_extra_tree(
+                    self._restore_env_path, "ENV_STATE",
+                    (self._gym_state, self._obs))
+                if restored is not None:
+                    self._gym_state, self._obs = restored
+                    print("Learner: Restored env state for deterministic "
+                          "resume")
+                self._restore_env_path = None
 
         total_timer = Timer()
         start_ts = self.total_timesteps

@@ -60,6 +60,38 @@ def shard_env_tree(tree, mesh):
     return jax.tree.map(put, tree)
 
 
+def make_global_env_tree(tree, mesh):
+    """Multi-process-safe env sharding (SURVEY.md §5.8).
+
+    Single process: plain sharded device_put (shard_env_tree). Multiple
+    processes (multi-host pod / the 2-process CPU test): every process
+    holds the globally-shaped host tree, contributes only its
+    `local_env_slice` of each env-sharded leaf via
+    `jax.make_array_from_process_local_data`, and replicated leaves are
+    passed whole. The result is a tree of global jax.Arrays addressable
+    under pjit across all hosts; rollout math never crosses hosts, and
+    gradient psums ride ICI/DCN from the sharding annotations alone.
+    """
+    if jax.process_count() == 1:
+        return shard_env_tree(tree, mesh)
+    from rlgymppo_cpp_tpu.parallel.distributed import local_env_slice
+    n = mesh.shape[ENV_AXIS]
+    env = env_sharding(mesh)
+    rep = replicated(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim >= 1 and x.shape[0] > 0 and x.shape[0] % n == 0:
+            start, per = local_env_slice(x.shape[0])
+            return jax.make_array_from_process_local_data(
+                env, np.ascontiguousarray(x[start:start + per]),
+                global_shape=x.shape)
+        return jax.make_array_from_process_local_data(
+            rep, x, global_shape=x.shape)
+
+    return jax.tree.map(put, tree)
+
+
 def mlp_param_shardings(params, mesh):
     """NamedShardings for a list-of-{'w','b'} MLP (models/mlp.py layout).
 

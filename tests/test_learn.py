@@ -258,3 +258,56 @@ def test_fused_ineligible_configs():
     )
     learner = Learner(gym, cfg)
     assert not learner._fused_eligible
+
+
+def test_deterministic_resume(tmp_path):
+    """save -> load -> N iterations == uninterrupted run (SURVEY §5.3):
+    PRNG key, env state, return stats and buffer all persist."""
+    from rlgymppo_cpp_tpu.gym import (
+        Gym, Match, DiscreteAction, DefaultOBS, CombinedReward,
+        VelocityPlayerToBallReward, NoTouchCondition, GoalScoreCondition,
+        RandomState,
+    )
+    from rlgymppo_cpp_tpu.learn import Learner, LearnerConfig, PPOLearnerConfig
+
+    def make_gym():
+        match = Match(
+            reward_fn=CombinedReward([(VelocityPlayerToBallReward(), 1.0)]),
+            terminal_conditions=[NoTouchCondition(50), GoalScoreCondition()],
+            obs_builder=DefaultOBS(),
+            action_parser=DiscreteAction(),
+            state_setter=RandomState(True, True, True),
+            team_size=1, spawn_opponents=False,
+        )
+        return Gym(match, num_envs=4, tick_skip=8)
+
+    def make_cfg(load):
+        return LearnerConfig(
+            num_envs=4, timesteps_per_iteration=32, exp_buffer_size=32,
+            ppo=PPOLearnerConfig(batch_size=32, mini_batch_size=0, epochs=1,
+                                 policy_layer_sizes=(16,),
+                                 critic_layer_sizes=(16,)),
+            checkpoint_save_folder=str(tmp_path / "ckpt"),
+            checkpoint_load_folder=str(tmp_path / "ckpt") if load else None,
+            timesteps_per_save=10**9, send_metrics=False,
+        )
+
+    gym = make_gym()
+    # Uninterrupted: 4 iterations
+    a = Learner(gym, make_cfg(False))
+    a.learn(iterations=2)
+    a.save()                      # snapshot mid-run
+    a.learn(iterations=2)
+
+    # Resumed: load the snapshot, 2 more iterations
+    b = Learner(gym, make_cfg(True))
+    assert b.total_timesteps == 2 * 32
+    b.learn(iterations=2)
+
+    assert b.total_timesteps == a.total_timesteps
+    for x, y in zip(jax.tree.leaves(a.train_state["policy"]),
+                    jax.tree.leaves(b.train_state["policy"])):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    for x, y in zip(jax.tree.leaves(a.train_state["value"]),
+                    jax.tree.leaves(b.train_state["value"])):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
