@@ -412,7 +412,15 @@ class Learner:
         """Main loop until timestep_limit (or `iterations`)."""
         cfg = self.config
         if self._gym_state is None:
-            self.key, sub = jax.random.split(self.key)
+            # On resume, the reset only builds the pytree TEMPLATE for
+            # the saved env state — use a throwaway key so the learner
+            # key sequence matches the uninterrupted run exactly.
+            restoring = bool(self._restore_env_path) and os.path.exists(
+                os.path.join(self._restore_env_path, "ENV_STATE.npz"))
+            if restoring:
+                sub = jax.random.PRNGKey(0)
+            else:
+                self.key, sub = jax.random.split(self.key)
             if self.multi:
                 self._gym_state, self._obs = self.collector.reset(sub)
             else:
@@ -422,15 +430,19 @@ class Learner:
                 self._gym_state = make_global_env_tree(
                     self._gym_state, self.mesh)
                 self._obs = make_global_env_tree(self._obs, self.mesh)
-            if self._restore_env_path:
-                restored = ckpt.load_extra_tree(
+            if restoring:
+                self._gym_state, self._obs = ckpt.load_extra_tree(
                     self._restore_env_path, "ENV_STATE",
                     (self._gym_state, self._obs))
-                if restored is not None:
-                    self._gym_state, self._obs = restored
-                    print("Learner: Restored env state for deterministic "
-                          "resume")
-                self._restore_env_path = None
+                if self.mesh is not None:
+                    from rlgymppo_cpp_tpu.parallel import \
+                        make_global_env_tree
+                    self._gym_state = make_global_env_tree(
+                        self._gym_state, self.mesh)
+                    self._obs = make_global_env_tree(self._obs, self.mesh)
+                print("Learner: Restored env state for deterministic "
+                      "resume")
+            self._restore_env_path = None
 
         total_timer = Timer()
         start_ts = self.total_timesteps

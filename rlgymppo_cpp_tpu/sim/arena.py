@@ -291,9 +291,10 @@ class Arena:
                                        ball_vel * damping))
 
         # --- contacts ---
-        cw_dvel, cw_dang, cw_hit, cw_normal = core_col.car_world_contacts(
-            cars, geom, mut, self.ii_diag, self.hitbox_half_t,
-            self.hitbox_offset_t, dt, active)
+        cw_dvel, cw_dang, cw_dpos, cw_hit, cw_normal = \
+            core_col.car_world_contacts(
+                cars, geom, mut, self.ii_diag, self.hitbox_half_t,
+                self.hitbox_offset_t, dt, active)
 
         cc = core_col.car_car_contacts(
             cars, mut, self.ii_diag, self.hitbox_half_t,
@@ -306,7 +307,7 @@ class Arena:
                 core.tick_count)
 
         bw_dvel, bw_dang, bw_hit, bw_normal = core_ball.ball_world_contact(
-            ball, geom, mut, dt, sleeping)
+            ball, geom, mut, dt, sleeping, self.game_mode)
         ball, bw_cache = core_ball.ball_on_world_collision(
             ball, bw_normal, bw_hit, self.game_mode, dt)
 
@@ -356,11 +357,19 @@ class Arena:
         # --- integrate positions ---
         new_rot = core_rb.integrate_rotation(cars.rot, cars.ang_vel, dt)
         cars = cars.replace(
-            pos=cars.pos + vwhere(active, cars.vel * dt, zero3),
+            pos=cars.pos + vwhere(active, cars.vel * dt + cw_dpos, zero3),
             rot=mwhere(active, new_rot, cars.rot))
         ball = ball.replace(
             pos=vwhere(sleeping, ball.pos, ball.pos + ball.vel * dt))
-        # ball rotation skipped (noBallRot optimization, Ball.cpp:107)
+        if self.game_mode == GameMode.SNOWDAY:
+            # The puck is the one ball shape whose orientation matters
+            # (m_noRot only applies to spheres, Ball.cpp:107): integrate
+            # its rotation so the cylinder contact sees the real axis.
+            new_ball_rot = core_rb.integrate_rotation(
+                ball.rot, ball.ang_vel, dt)
+            ball = ball.replace(rot=mwhere(sleeping, ball.rot,
+                                           new_ball_rot))
+        # else: ball rotation skipped (noBallRot optimization, Ball.cpp:107)
 
         # --- post tick ---
         post_active = active & ~cars.is_demoed

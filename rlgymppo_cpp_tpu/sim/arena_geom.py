@@ -48,19 +48,34 @@ CORNER_INTERSECTION = 8064.0
 class ArenaGeom:
     """Bounded-plane world for one game mode. Static, hashable, jit-friendly."""
 
-    def __init__(self, normals, offsets, region_min, region_max):
+    def __init__(self, normals, offsets, region_min, region_max,
+                 car_collides=None, ball_cylinders=()):
+        """`car_collides` [NP] bool: False marks ball-only surfaces (the
+        Hoops net: RocketSim adds the 505-vert net mesh with car collision
+        disabled via CollisionMasks::HOOPS_NET, Arena.cpp:1037-1053,
+        CollisionMasks.h:8-11). Car queries pass for_car=True and skip
+        those planes at trace time."""
         self.normals = jnp.asarray(normals, dtype=jnp.float32)        # [NP, 3]
         self.offsets = jnp.asarray(offsets, dtype=jnp.float32)        # [NP]
         self.region_min = jnp.asarray(region_min, dtype=jnp.float32)  # [NP, 3]
         self.region_max = jnp.asarray(region_max, dtype=jnp.float32)  # [NP, 3]
         self.num_planes = self.normals.shape[0]
+        if car_collides is None:
+            car_collides = np.ones(self.num_planes, bool)
+        self.car_collides = np.asarray(car_collides, bool)
+        # ball-only vertical cylinder surfaces: (cx, cy, radius, z_max)
+        # rows — used for the hoops net (see make_hoops_geom)
+        self.ball_cylinders = tuple(
+            tuple(float(v) for v in c) for c in ball_cylinders)
 
-    def signed_distances(self, pos):
+    def signed_distances(self, pos, for_car=False):
         """Signed distance of `pos` [..., 3] to every applicable plane.
 
-        Returns [..., NP]; inapplicable planes read +INF.
-        """
+        Returns [..., NP]; inapplicable planes read +INF. `for_car`
+        excludes ball-only surfaces (hoops net)."""
         d = jnp.einsum("...k,pk->...p", pos, self.normals) - self.offsets
+        if for_car and not self.car_collides.all():
+            d = jnp.where(jnp.asarray(self.car_collides), d, INF)
         inside = jnp.all(
             (pos[..., None, :] >= self.region_min)
             & (pos[..., None, :] <= self.region_max),
@@ -68,20 +83,33 @@ class ArenaGeom:
         )
         return jnp.where(inside, d, INF)
 
-    def sphere_contact(self, pos, radius):
+    def sphere_contact(self, pos, radius, for_car=False):
         """Deepest sphere-vs-world contact.
 
         Returns (depth [...], normal [..., 3]); depth > 0 means penetration
         of the sphere surface (dist < radius).
         """
-        dists = self.signed_distances(pos)
+        dists = self.signed_distances(pos, for_car=for_car)
         depths = radius - dists                       # [..., NP]
         best = jnp.argmax(depths, axis=-1)
         depth = jnp.take_along_axis(depths, best[..., None], axis=-1)[..., 0]
         normal = self.normals[best]
+        if not for_car:
+            for (ccx, ccy, r_cyl, z_max) in self.ball_cylinders:
+                dxy = pos[..., :2] - jnp.asarray([ccx, ccy])
+                rd = jnp.linalg.norm(dxy, axis=-1)
+                side = jnp.where(rd >= r_cyl, 1.0, -1.0)
+                cdepth = radius - jnp.abs(rd - r_cyl)
+                cnormal = jnp.concatenate(
+                    [dxy * (side / jnp.maximum(rd, 1e-6))[..., None],
+                     jnp.zeros_like(rd)[..., None]], axis=-1)
+                applic = (pos[..., 2] >= 0.0) & (pos[..., 2] <= z_max)
+                better = applic & (cdepth > depth)
+                depth = jnp.where(better, cdepth, depth)
+                normal = jnp.where(better[..., None], cnormal, normal)
         return depth, normal
 
-    def raycast(self, start, direction, max_len):
+    def raycast(self, start, direction, max_len, for_car=False):
         """Analytic ray vs all planes; `direction` must be unit length.
 
         Returns (hit [...] bool, t [...], normal [..., 3]). Matches the
@@ -94,6 +122,8 @@ class ArenaGeom:
         t = (self.offsets - n_dot_p0) / denom         # [..., NP]
         # Only hits moving into the surface, within range
         valid = (n_dot_dir < -1e-9) & (t >= 0.0) & (t <= max_len[..., None])
+        if for_car and not self.car_collides.all():
+            valid = valid & jnp.asarray(self.car_collides)
         hit_point = start[..., None, :] + direction[..., None, :] * t[..., None]
         in_region = jnp.all(
             (hit_point >= self.region_min - 1e-3)
@@ -139,7 +169,7 @@ class ArenaGeom:
                 mask = acc(mask, comp <= hi + pad)
         return mask
 
-    def sphere_contact_core(self, pos, radius):
+    def sphere_contact_core(self, pos, radius, for_car=False):
         """V3 of [...] -> (depth [...], normal V3 of [...])."""
         from rlgymppo_cpp_tpu.maths.v3 import V3
         normals, offsets, rmins, rmaxs = self._np_planes
@@ -149,6 +179,8 @@ class ArenaGeom:
         ny = jnp.zeros(shape)
         nz = jnp.ones(shape)
         for p in range(self.num_planes):
+            if for_car and not self.car_collides[p]:
+                continue
             n0, n1, n2 = (float(normals[p, 0]), float(normals[p, 1]),
                           float(normals[p, 2]))
             dist = n0 * pos.x + n1 * pos.y + n2 * pos.z - float(offsets[p])
@@ -162,9 +194,25 @@ class ArenaGeom:
             nx = jnp.where(better, n0, nx)
             ny = jnp.where(better, n1, ny)
             nz = jnp.where(better, n2, nz)
+        if not for_car:
+            for (ccx, ccy, r_cyl, z_max) in self.ball_cylinders:
+                # double-sided vertical cylinder (hoops net): the normal
+                # points from the surface toward the ball's side
+                dxp = pos.x - ccx
+                dyp = pos.y - ccy
+                rd = jnp.sqrt(dxp * dxp + dyp * dyp)
+                side = jnp.where(rd >= r_cyl, 1.0, -1.0)
+                depth = radius - jnp.abs(rd - r_cyl)
+                inv = side / jnp.maximum(rd, 1e-6)
+                applic = (pos.z >= 0.0) & (pos.z <= z_max)
+                better = applic & (depth > best_depth)
+                best_depth = jnp.where(better, depth, best_depth)
+                nx = jnp.where(better, dxp * inv, nx)
+                ny = jnp.where(better, dyp * inv, ny)
+                nz = jnp.where(better, 0.0, nz)
         return best_depth, V3(nx, ny, nz)
 
-    def raycast_core(self, start, direction, max_len):
+    def raycast_core(self, start, direction, max_len, for_car=False):
         """V3 starts/dirs of [...] -> (hit [...], t [...], normal V3)."""
         from rlgymppo_cpp_tpu.maths.v3 import V3
         normals, offsets, rmins, rmaxs = self._np_planes
@@ -174,6 +222,8 @@ class ArenaGeom:
         ny = jnp.zeros(shape)
         nz = jnp.ones(shape)
         for p in range(self.num_planes):
+            if for_car and not self.car_collides[p]:
+                continue
             n0, n1, n2 = (float(normals[p, 0]), float(normals[p, 1]),
                           float(normals[p, 2]))
             n_dot_dir = n0 * direction.x + n1 * direction.y \
@@ -198,9 +248,20 @@ class ArenaGeom:
         return hit, jnp.where(hit, best_t, max_len), V3(nx, ny, nz)
 
 
-def _plane(n, d, rmin=(-INF, -INF, -INF), rmax=(INF, INF, INF)):
+def _plane(n, d, rmin=(-INF, -INF, -INF), rmax=(INF, INF, INF), car=True):
     return (np.asarray(n, np.float64), float(d),
-            np.asarray(rmin, np.float64), np.asarray(rmax, np.float64))
+            np.asarray(rmin, np.float64), np.asarray(rmax, np.float64),
+            bool(car))
+
+
+def _build(planes, ball_cylinders=()):
+    return ArenaGeom(
+        np.stack([p[0] for p in planes]).astype(np.float32),
+        np.array([p[1] for p in planes], dtype=np.float32),
+        np.stack([p[2] for p in planes]).astype(np.float32),
+        np.stack([p[3] for p in planes]).astype(np.float32),
+        np.array([p[4] for p in planes], dtype=bool),
+        ball_cylinders=ball_cylinders)
 
 
 def make_soccar_geom() -> ArenaGeom:
@@ -240,11 +301,7 @@ def make_soccar_geom() -> ArenaGeom:
             _plane((0, 0, -1), -gh, rmin=in_goal_min, rmax=in_goal_max),  # goal roof
         ]
 
-    normals = np.stack([p[0] for p in planes]).astype(np.float32)
-    offsets = np.array([p[1] for p in planes], dtype=np.float32)
-    rmin = np.stack([p[2] for p in planes]).astype(np.float32)
-    rmax = np.stack([p[3] for p in planes]).astype(np.float32)
-    return ArenaGeom(normals, offsets, rmin, rmax)
+    return _build(planes)
 
 
 def make_hoops_geom() -> ArenaGeom:
@@ -281,44 +338,18 @@ def make_hoops_geom() -> ArenaGeom:
         _plane((-s, s, 0), -corner * s),
         _plane((s, s, 0), -corner * s),
     ]
-    for sign in (1.0, -1.0):
-        y_front = hoop_cy - hoop_r                   # |y| of the net face
-        # Region helpers in |y| terms, mirrored by sign
-        def yr(lo, hi):
-            return (lo * sign, hi * sign) if sign > 0 else \
-                (hi * sign, lo * sign)
+    # Hoops nets: analytic vertical cylinder surfaces, BALL-ONLY
+    # (RocketSim adds the 505-vert net mesh with car collision masked out
+    # — CollisionMasks::HOOPS_NET, Arena.cpp:1037-1053,
+    # CollisionMasks.h:8-11 — so cars drive straight through the net while
+    # balls bounce off it / stay contained after dropping in). A cylinder
+    # is the net's actual shape up to mesh facets, is double-sided by
+    # construction (the contact normal flips with the side the ball is
+    # on), and has no region-AABB corner artifacts.
+    cylinders = [(0.0, hoop_cy * sign, hoop_r, rim_h)
+                 for sign in (1.0, -1.0)]
 
-        # Net front wall (|y| = y_front):
-        # outside face — pushes arena-side bodies (|y| < y_front) away
-        lo, hi = yr(y_front - 200, y_front)
-        planes.append(_plane((0, -sign, 0), -y_front,
-                             rmin=(-hoop_r, lo, 0),
-                             rmax=(hoop_r, hi, rim_h)))
-        # inside face — contains dropped-in balls (|y| > y_front)
-        lo, hi = yr(y_front, ey)
-        planes.append(_plane((0, sign, 0), y_front,
-                             rmin=(-hoop_r, lo, 0),
-                             rmax=(hoop_r, hi, rim_h)))
-        # Net side walls at x = +/- hoop_r over the basket's y span:
-        lo, hi = yr(y_front, ey)
-        # inside faces (|x| < hoop_r)
-        planes.append(_plane((-1, 0, 0), -hoop_r,
-                             rmin=(0, lo, 0), rmax=(hoop_r, hi, rim_h)))
-        planes.append(_plane((1, 0, 0), -hoop_r,
-                             rmin=(-hoop_r, lo, 0), rmax=(0, hi, rim_h)))
-        # outside faces (|x| > hoop_r)
-        planes.append(_plane((1, 0, 0), hoop_r,
-                             rmin=(hoop_r, lo, 0),
-                             rmax=(hoop_r + 200, hi, rim_h)))
-        planes.append(_plane((-1, 0, 0), hoop_r,
-                             rmin=(-hoop_r - 200, lo, 0),
-                             rmax=(-hoop_r, hi, rim_h)))
-
-    normals = np.stack([p[0] for p in planes]).astype(np.float32)
-    offsets = np.array([p[1] for p in planes], dtype=np.float32)
-    rmin = np.stack([p[2] for p in planes]).astype(np.float32)
-    rmax = np.stack([p[3] for p in planes]).astype(np.float32)
-    return ArenaGeom(normals, offsets, rmin, rmax)
+    return _build(planes, ball_cylinders=cylinders)
 
 
 def make_void_geom() -> ArenaGeom:

@@ -82,8 +82,13 @@ def ball_pre_tick(ball, game_mode, dt):
         vel=vel, hs_info=hs.replace(time_since_hit=time_since_hit))
 
 
-def ball_world_contact(ball, geom, mut, dt, sleeping):
-    """Averaged ball-world contact. Returns (dvel, dang, hit, normal)."""
+def ball_world_contact(ball, geom, mut, dt, sleeping,
+                       game_mode=C.GameMode.SOCCAR):
+    """Averaged ball-world contact. Returns (dvel, dang, hit, normal).
+
+    Snowday routes to the cylinder puck shape (puck_world_contact)."""
+    if game_mode == C.GameMode.SNOWDAY:
+        return puck_world_contact(ball, geom, mut, dt, sleeping)
     radius = mut.ball_radius + BALL_CONTACT_MARGIN
     depth, normal = geom.sphere_contact_core(ball.pos, radius)
     in_contact = (depth > 0.0) & ~sleeping
@@ -92,6 +97,66 @@ def ball_world_contact(ball, geom, mut, dt, sleeping):
     ii_apply = rb.make_sphere_ii(
         rb.sphere_inv_inertia_scalar(mut.ball_mass, mut.ball_radius))
     rel_pos = normal * -mut.ball_radius
+
+    friction = min(mut.ball_world_friction, C.ARENA_COLLISION_FRICTION)
+    restitution = max(mut.ball_world_restitution,
+                      C.ARENA_COLLISION_RESTITUTION)
+
+    dvel, dang, _ = rb.contact_impulse_static(
+        ball.vel, ball.ang_vel, inv_mass, ii_apply,
+        rel_pos, normal, depth, restitution, friction, dt,
+        use_position_bias=False)
+    zero = V3.of(0.0, 0.0, 0.0)
+    return vwhere(in_contact, dvel, zero), vwhere(in_contact, dang, zero), \
+        in_contact, normal
+
+
+def puck_inv_inertia_diag(mut):
+    """Body-frame inverse inertia of the puck cylinder (bullet derives it
+    from the 20-point convex hull, MakeBallCollisionShape Ball.cpp:52-76;
+    the analytic solid cylinder matches to within the hull's 20-gon
+    approximation): axis = body z."""
+    m = mut.ball_mass
+    r = mut.ball_radius
+    h = C.Snowday.PUCK_HEIGHT
+    ixx = m * (3.0 * r * r + h * h) / 12.0
+    izz = 0.5 * m * r * r
+    return (1.0 / ixx, 1.0 / ixx, 1.0 / izz)
+
+
+def puck_world_contact(ball, geom, mut, dt, sleeping):
+    """Snowday puck vs world: the reference's puck is a 20-gon cylinder
+    convex hull (Ball.cpp:51-81; radius/height/mass/friction/restitution
+    from RLConst::Snowday). Here the cylinder's support point against the
+    deepest world plane is computed analytically: support distance along
+    the contact normal n with axis a is r*|n_perp| + (h/2)*|n.a|, contact
+    offset -(r*u_hat + (h/2)*sign(n.a)*a). Single-point impulse with the
+    cylinder's rotated inertia tensor replaces bullet's hull manifold —
+    rim contact, flat rest at h/2, edge bounces and spin coupling all
+    follow from the same formula.
+    """
+    r = mut.ball_radius
+    hh = C.Snowday.PUCK_HEIGHT / 2.0
+
+    # nearest world plane at the center (probe radius 0: depth = -distance)
+    depth_c, normal = geom.sphere_contact_core(ball.pos, 0.0)
+    dist = -depth_c
+
+    axis = ball.rot.u                      # cylinder axis (body z)
+    c = normal.dot(axis)
+    n_perp = normal - axis * c
+    s = n_perp.norm()
+    u_hat = n_perp / jnp.maximum(s, 1e-6)
+    support = r * s + hh * jnp.abs(c)
+    depth = (support + BALL_CONTACT_MARGIN) - dist
+    in_contact = (depth > 0.0) & ~sleeping
+
+    sign_c = jnp.where(c >= 0, 1.0, -1.0)
+    rel_pos = u_hat * (-r * jnp.minimum(s * 1e6, 1.0)) \
+        + axis * (-hh * sign_c)
+
+    inv_mass = 1.0 / mut.ball_mass
+    ii_apply = rb.make_box_ii(ball.rot, puck_inv_inertia_diag(mut))
 
     friction = min(mut.ball_world_friction, C.ARENA_COLLISION_FRICTION)
     restitution = max(mut.ball_world_restitution,

@@ -62,7 +62,8 @@ def suspension_raycast(cars, cfg, geom):
     ray_len = jnp.broadcast_to(
         rest_len + travel + radius - SUSPENSION_SUBTRACTION_UU, shape)
 
-    hit, t, normal = geom.raycast_core(hard_point, wheel_dir, ray_len)
+    hit, t, normal = geom.raycast_core(hard_point, wheel_dir, ray_len,
+                                      for_car=True)
 
     contact_point = hard_point + wheel_dir * t
     trace_len = t

@@ -42,9 +42,20 @@ def hitbox_corners(pos: V3, rot, half, offset):
     return pos + rot.mv(local)
 
 
+# Split-impulse penetration recovery (the reference forces bullet onto
+# this path: solverInfo.m_splitImpulsePenetrationThreshold = 1e30 +
+# m_erp2 = 0.8, Arena.cpp:485-488): penetration is resolved POSITIONALLY,
+# never injected as velocity — a car spawned/settled slightly inside the
+# world must not pop (the round-2 auto_flip golden trace caught exactly
+# that: a Baumgarte velocity bias launched the roof-resting car upward).
+SPLIT_IMPULSE_ERP = 0.8
+PENETRATION_SLOP = 1.0
+
+
 def car_world_contacts(cars, geom, mut, ii_diag, half, offset, dt, active):
     """Hitbox corners vs static world, sequential impulses over the 8
-    corners. Returns (dvel V3, dang V3, has_contact, contact_normal V3)."""
+    corners. Returns (dvel V3, dang V3, dpos V3, has_contact,
+    contact_normal V3); dpos is the split-impulse positional push-out."""
     inv_mass = 1.0 / mut.car_mass
     ii_apply = rb.make_box_ii(cars.rot, ii_diag)
 
@@ -63,13 +74,15 @@ def car_world_contacts(cars, geom, mut, ii_diag, half, offset, dt, active):
                       sy * half[1] + offset[1],
                       sz * half[2] + offset[2])
         corner = cars.pos + cars.rot.mv(local)
-        depth, normal = geom.sphere_contact_core(corner, MESH_MARGIN)
+        depth, normal = geom.sphere_contact_core(corner, MESH_MARGIN,
+                                                 for_car=True)
         in_contact = (depth > 0.0) & active
 
         rel = corner - cars.pos
         dvel, dang, _ = rb.contact_impulse_static(
             vel, ang_vel, inv_mass, ii_apply,
-            rel, normal, depth, restitution, friction, dt)
+            rel, normal, depth, restitution, friction, dt,
+            use_position_bias=False)
         vel = vel + vwhere(in_contact, dvel, zero)
         ang_vel = ang_vel + vwhere(in_contact, dang, zero)
 
@@ -78,7 +91,10 @@ def car_world_contacts(cars, geom, mut, ii_diag, half, offset, dt, active):
         best_depth = jnp.where(deeper, depth, best_depth)
         contact_normal = vwhere(deeper, normal, contact_normal)
 
-    return vel - cars.vel, ang_vel - cars.ang_vel, has_contact, \
+    push = SPLIT_IMPULSE_ERP * jnp.maximum(
+        best_depth - PENETRATION_SLOP, 0.0)
+    dpos = vwhere(has_contact, contact_normal * push, zero)
+    return vel - cars.vel, ang_vel - cars.ang_vel, dpos, has_contact, \
         contact_normal
 
 

@@ -94,7 +94,7 @@ class MeshGeom:
 
     # ----------------------------------------------------------- geom API
 
-    def sphere_contact(self, pos, radius):
+    def sphere_contact(self, pos, radius, for_car=False):
         """(depth, normal): depth > 0 means the sphere penetrates."""
         d, n = self._sample(pos)
         return radius - d, n
@@ -114,11 +114,11 @@ class MeshGeom:
         d, n = self._sample(p)
         return d, V3(n[..., 0], n[..., 1], n[..., 2])
 
-    def sphere_contact_core(self, pos, radius):
+    def sphere_contact_core(self, pos, radius, for_car=False):
         d, n = self._sample_core(pos)
         return radius - d, n
 
-    def raycast_core(self, start, direction, max_len):
+    def raycast_core(self, start, direction, max_len, for_car=False):
         from rlgymppo_cpp_tpu.maths.v3 import V3
         t = jnp.zeros_like(start.x)
         for _ in range(self.RAY_STEPS):
@@ -132,7 +132,7 @@ class MeshGeom:
         hit = (d < 6.0) & (t < max_len)
         return hit, jnp.where(hit, t, max_len), n
 
-    def raycast(self, start, direction, max_len):
+    def raycast(self, start, direction, max_len, for_car=False):
         """Sphere-trace the distance field: fixed RAY_STEPS iterations.
 
         Returns (hit [...], t [...], normal [..., 3]).

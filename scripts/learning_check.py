@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--iterations", type=int, default=60)
     ap.add_argument("--log", default="/tmp/learning_check.jsonl")
     ap.add_argument("--opponents", action="store_true")
+    ap.add_argument("--mesh", action="store_true",
+                    help="train on the SDF-baked mesh arena world")
     args = ap.parse_args()
 
     match = Match(
@@ -45,15 +47,21 @@ def main():
         state_setter=RandomState(True, False, False),
         team_size=1, spawn_opponents=args.opponents,
     )
-    gym = Gym(match, num_envs=args.envs, tick_skip=8)
+    geom = None
+    if args.mesh:
+        from rlgymppo_cpp_tpu.sim.soccar_mesh import make_soccar_mesh_geom
+        geom = make_soccar_mesh_geom()
+    gym = Gym(match, num_envs=args.envs, tick_skip=8, geom=geom)
 
-    ts_per_itr = 50_000
+    # round to a whole rollout window so the Learner takes the fused path
+    players = gym.num_envs * gym.num_players
+    ts_per_itr = max(1, round(50_000 / players)) * players
     cfg = LearnerConfig(
         num_envs=args.envs,
         timesteps_per_iteration=ts_per_itr,
         exp_buffer_size=ts_per_itr,
         ppo=PPOLearnerConfig(
-            batch_size=ts_per_itr, mini_batch_size=25_000, epochs=2,
+            batch_size=ts_per_itr, mini_batch_size=0, epochs=2,
             ent_coef=0.01, policy_lr=2e-4, critic_lr=2e-4),
         standardize_returns=True,
         send_metrics=False,

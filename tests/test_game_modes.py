@@ -93,17 +93,50 @@ def test_heatseeker_kickoff_ball_spawn(hs_arena):
 
 
 def test_snowday_puck_rests_on_ground():
-    """The puck spawns at puck radius height and the ground-stick force
-    keeps it there (Ball.cpp:217-253 snowday branch)."""
+    """A flat puck is a cylinder (Ball.cpp:51-81): dropped near the floor
+    it settles at half its height (PUCK_HEIGHT/2 = 31.25), held by the
+    ground-stick force (Ball.cpp:217-253 snowday branch)."""
     arena = Arena(game_mode=GameMode.SNOWDAY, teams=(0, 1))
     state = arena.default_state(())
-    # wake it so contacts actually run
     state = state.replace(ball=state.ball.replace(
+        pos=jnp.asarray([0.0, 0.0, 60.0]),
         vel=jnp.asarray([10.0, 0.0, 0.0])))
-    state = run_ticks(arena, state, 60)
+    state = run_ticks(arena, state, 120)
     z = float(state.ball.pos[2])
-    assert abs(z - arena.mut.ball_radius) < 6.0, \
-        f"puck should stay stuck to the ground, z={z}"
+    rest = C.Snowday.PUCK_HEIGHT / 2
+    assert abs(z - rest) < 8.0, \
+        f"flat puck should rest at ~{rest}, z={z}"
+
+
+def test_snowday_puck_slides_with_low_friction():
+    """PUCK_FRICTION = 0.1 (RLConst.h Snowday): a sliding puck keeps most
+    of its speed over a second, unlike the soccar ball."""
+    arena = Arena(game_mode=GameMode.SNOWDAY, teams=(0, 1))
+    state = arena.default_state(())
+    state = state.replace(ball=state.ball.replace(
+        pos=jnp.asarray([-1000.0, 0.0, C.Snowday.PUCK_HEIGHT / 2]),
+        vel=jnp.asarray([900.0, 0.0, 0.0])))
+    state = run_ticks(arena, state, 120)
+    speed = float(jnp.linalg.norm(state.ball.vel[:2]))
+    assert speed > 500.0, f"puck decelerated too hard ({speed})"
+
+
+def test_snowday_tilted_puck_settles_flat():
+    """A puck dropped on its rim topples flat: the cylinder contact's
+    off-axis impulse generates the righting torque."""
+    from rlgymppo_cpp_tpu.maths.rot import euler_to_rotmat
+    arena = Arena(game_mode=GameMode.SNOWDAY, teams=(0, 1))
+    state = arena.default_state(())
+    rot = euler_to_rotmat(jnp.float32(0.0), jnp.float32(0.0),
+                          jnp.float32(1.0))     # 57 deg roll
+    state = state.replace(ball=state.ball.replace(
+        pos=jnp.asarray([0.0, 0.0, 150.0]), rot=rot,
+        vel=jnp.asarray([0.0, 0.0, -50.0])))
+    state = run_ticks(arena, state, 600)
+    up_z = float(state.ball.rot[2, 2])
+    z = float(state.ball.pos[2])
+    assert abs(up_z) > 0.85, f"puck should settle flat-ish (axis z={up_z})"
+    assert z < 80.0, f"puck should end near the floor (z={z})"
 
 
 def test_void_has_no_world():

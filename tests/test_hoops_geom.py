@@ -51,3 +51,40 @@ def test_hoops_arena_scoring():
     # Above threshold z: not yet scored
     high = jnp.asarray([[0.0, 2770.0 / 0.9, 500.0]])
     assert not bool(arena.is_ball_scored(high)[0])
+
+
+def test_hoops_net_is_ball_only():
+    """The net mesh has car collision disabled in the reference
+    (CollisionMasks::HOOPS_NET, Arena.cpp:1037-1053): car queries must
+    pass straight through the net surfaces while ball queries collide."""
+    g = make_hoops_geom()
+    r = 96.3831
+    y_front = 2770.0 / 0.9 - 716.0
+    probe = jnp.asarray([[0.0, y_front - 50.0, 100.0]])
+
+    ball_depth, _ = g.sphere_contact(probe, r, for_car=False)
+    car_depth, _ = g.sphere_contact(probe, r, for_car=True)
+    assert float(ball_depth[0]) > 0
+    assert float(car_depth[0]) < 0, "car must not collide with the net"
+
+    # suspension-style ray driving through the net footprint hits only
+    # the floor, never a net wall
+    start = jnp.asarray([[0.0, y_front - 5.0, 30.0]])
+    down = jnp.asarray([[0.0, 0.0, -1.0]])
+    hit, t, n = g.raycast(start, down, jnp.asarray([60.0]), for_car=True)
+    assert bool(hit[0]) and float(n[0, 2]) > 0.9
+
+
+def test_hoops_net_cylinder_shape():
+    """The net is round: contacts at 45 degrees around the basket axis
+    push radially, not axis-aligned."""
+    g = make_hoops_geom()
+    r = 96.3831
+    cy = 2770.0 / 0.9
+    d = (716.0 + 40.0) / np.sqrt(2.0)
+    probe = jnp.asarray([[d, cy - d, 100.0]])
+    depth, n = g.sphere_contact(probe, r)
+    assert float(depth[0]) > 0
+    # radial outward normal ~ (1, -1, 0)/sqrt(2) (arena side, 45 deg)
+    assert abs(float(n[0, 0]) - 1 / np.sqrt(2)) < 0.05
+    assert abs(float(n[0, 1]) + 1 / np.sqrt(2)) < 0.05

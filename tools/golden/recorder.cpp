@@ -347,8 +347,32 @@ int main(int argc, char** argv) {
          },
          {{{200, ctl(1, 0, 0, 0, 0, false, true)}}, {{200, ctl()}}}});
 
+    // --- snowday puck (cylinder hull, Ball.cpp:51-81) ---
+    // Scenario names prefixed "snowday_"/"heatseeker_" pick that game mode.
+    add({"snowday_puck_drop", 300, 1,
+         ballSetup(ballAt({0, 0, 500})),
+         {{{300, ctl()}}}});
+    add({"snowday_puck_slide", 300, 1,
+         ballSetup(ballAt({-1000, 0, 31.3f}, {900, 200, 0})),
+         {{{300, ctl()}}}});
+    add({"snowday_puck_spin_bounce", 300, 1,
+         ballSetup(ballAt({0, -400, 400}, {600, 0, -800}, {0, 4, 1})),
+         {{{300, ctl()}}}});
+    add({"heatseeker_homing", 300, 1,
+         [](Arena* a, std::vector<Car*>& cars) {
+             cars[0]->SetState(carAt({3600, -3600, REST_Z}, 0));
+             BallState bs = ballAt({0, 0, 400}, {500, 800, 300});
+             bs.hsInfo.yTargetDir = 1.0f;
+             a->ball->SetState(bs);
+         },
+         {{{300, ctl()}}}});
+
     for (auto& sc : scenarios) {
-        Arena* arena = Arena::Create(GameMode::SOCCAR, {}, 120);
+        GameMode mode = GameMode::SOCCAR;
+        if (sc.name.rfind("snowday_", 0) == 0) mode = GameMode::SNOWDAY;
+        if (sc.name.rfind("heatseeker_", 0) == 0)
+            mode = GameMode::HEATSEEKER;
+        Arena* arena = Arena::Create(mode, {}, 120);
         std::vector<Car*> cars;
         for (int i = 0; i < sc.numCars; i++)
             cars.push_back(arena->AddCar(

@@ -66,11 +66,20 @@ def load_trace(name):
 _ARENAS = {}
 
 
-def make_arena(num_cars):
-    if num_cars not in _ARENAS:
+def mode_for(name):
+    if name.startswith("snowday_"):
+        return GameMode.SNOWDAY
+    if name.startswith("heatseeker_"):
+        return GameMode.HEATSEEKER
+    return GameMode.SOCCAR
+
+
+def make_arena(num_cars, game_mode=GameMode.SOCCAR):
+    key = (num_cars, game_mode)
+    if key not in _ARENAS:
         teams = tuple(i % 2 for i in range(num_cars))
-        _ARENAS[num_cars] = Arena(GameMode.SOCCAR, teams=teams)
-    return _ARENAS[num_cars]
+        _ARENAS[key] = Arena(game_mode, teams=teams)
+    return _ARENAS[key]
 
 
 def initial_state(arena, tr):
@@ -112,6 +121,59 @@ def initial_state(arena, tr):
     return st.replace(cars=cars, ball=ball)
 
 
+# All traces replay through ONE jitted scan per (num_cars, mode) arena
+# config, padded to a common length: a 300-tick scenario costs one scan
+# call instead of 300 host dispatches (which profiled ~100x slower on the
+# single-core CPU test environment).
+PAD_T = 456
+
+_SCANS = {}
+
+
+def _scan_replay(arena):
+    key = id(arena)
+    if key in _SCANS:
+        return _SCANS[key]
+
+    import functools
+
+    @jax.jit
+    def run(state, ctrl_seq):
+        prng = jax.random.PRNGKey(0)
+
+        def body(st, c):
+            controls = CarControls(
+                throttle=c[None, :, 0], steer=c[None, :, 1],
+                pitch=c[None, :, 2], yaw=c[None, :, 3],
+                roll=c[None, :, 4], jump=c[None, :, 5] != 0,
+                boost=c[None, :, 6] != 0, handbrake=c[None, :, 7] != 0)
+            st2, _ = arena.tick(st, controls, prng)
+            cars = st2.cars
+            snap = {
+                "pos": cars.pos[0], "rot": cars.rot[0],
+                "vel": cars.vel[0], "ang_vel": cars.ang_vel[0],
+                "ball_pos": st2.ball.pos[0], "ball_vel": st2.ball.vel[0],
+                "ball_ang_vel": st2.ball.ang_vel[0],
+                "flip_rel_torque": cars.flip_rel_torque[0],
+            }
+            for f in ("is_on_ground", "has_jumped", "has_double_jumped",
+                      "has_flipped", "is_flipping", "is_jumping",
+                      "is_supersonic", "is_auto_flipping"):
+                snap[f] = getattr(cars, f)[0].astype(jnp.float32)[:, None]
+            for f in ("jump_time", "flip_time", "air_time",
+                      "air_time_since_jump", "boost",
+                      "time_spent_boosting", "supersonic_time",
+                      "handbrake_val", "auto_flip_timer"):
+                snap[f] = getattr(cars, f)[0][:, None]
+            return st2, snap
+
+        _, snaps = jax.lax.scan(body, state, ctrl_seq)
+        return snaps
+
+    _SCANS[key] = run
+    return run
+
+
 def replay(name):
     """Run the TPU engine under the trace's controls.
 
@@ -119,28 +181,29 @@ def replay(name):
     """
     tr = load_trace(name)
     R, C = tr["controls"].shape[:2]
-    arena = make_arena(C)
+    arena = make_arena(C, mode_for(name))
     state = initial_state(arena, tr)
+    if mode_for(name) == GameMode.HEATSEEKER:
+        # recorder sets hsInfo.yTargetDir = 1 (not in the trace format)
+        from rlgymppo_cpp_tpu.sim import constants as RC
+        state = state.replace(ball=state.ball.replace(
+            hs_info=state.ball.hs_info.replace(
+                y_target_dir=jnp.ones_like(
+                    state.ball.hs_info.y_target_dir),
+                cur_target_speed=jnp.full_like(
+                    state.ball.hs_info.cur_target_speed,
+                    RC.Heatseeker.INITIAL_TARGET_SPEED))))
     key = jax.random.PRNGKey(0)
 
-    rows = [_snapshot(state)]
-    tick = arena.tick_jit
-    for t in range(1, R):
-        c = tr["controls"][t]                         # [C, 8]
-        controls = CarControls(
-            throttle=jnp.asarray(c[None, :, 0]),
-            steer=jnp.asarray(c[None, :, 1]),
-            pitch=jnp.asarray(c[None, :, 2]),
-            yaw=jnp.asarray(c[None, :, 3]),
-            roll=jnp.asarray(c[None, :, 4]),
-            jump=jnp.asarray(c[None, :, 5] != 0),
-            boost=jnp.asarray(c[None, :, 6] != 0),
-            handbrake=jnp.asarray(c[None, :, 7] != 0),
-        )
-        state, _ = tick(state, controls, key)
-        rows.append(_snapshot(state))
+    ctrl = np.zeros((PAD_T, C, 8), np.float32)
+    ctrl[:R - 1] = tr["controls"][1:]
+    ctrl[R - 1:] = tr["controls"][-1]
+    snaps = _scan_replay(arena)(state, jnp.asarray(ctrl))
+    snaps = jax.device_get(snaps)
 
-    ours = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+    row0 = _snapshot(state)
+    ours = {k: np.concatenate([row0[k][None], np.asarray(v)[:R - 1]])
+            for k, v in snaps.items()}
     return tr, ours
 
 
