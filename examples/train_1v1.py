@@ -70,6 +70,8 @@ def main():
                     help="collide against the SDF-baked triangle-mesh "
                          "arena (sim/soccar_mesh.py) instead of the "
                          "analytic plane soup")
+    ap.add_argument("--log", default=None,
+                    help="append one JSON line per iteration to this file")
     ap.add_argument("--fused", action="store_true",
                     help="reference-default economics (buffer == batch == "
                          "one iteration window) so the Learner takes the "
@@ -115,7 +117,33 @@ def main():
     match = make_match()
     gym = Gym(match, num_envs=cfg.num_envs, tick_skip=TICK_SKIP, geom=geom)
     learner = Learner(gym, cfg)
-    learner.iteration_callback = on_iteration
+    if args.log:
+        import json
+        import time as _time
+        log_f = open(args.log, "a")
+        t0 = _time.time()
+
+        def on_iter(lrn, report):
+            rec = {"ts": lrn.total_timesteps,
+                   "wall": round(_time.time() - t0, 1)}
+            for k in ("Average Step Reward", "Average Episode Reward",
+                      "Policy Entropy", "Mean KL Divergence",
+                      "Overall Steps/Second"):
+                if k in report:
+                    rec[k.lower().replace(" ", "_")] = round(
+                        float(report[k]), 5)
+            for k in report:
+                if k.startswith("Skill Rating"):
+                    rec[k.lower().replace(" ", "_")] = round(
+                        float(report[k]), 2)
+            log_f.write(json.dumps(rec) + "\n")
+            log_f.flush()
+            if lrn.total_timesteps % 2_000_000 < cfg.timesteps_per_iteration:
+                on_iteration(lrn, report)
+
+        learner.iteration_callback = on_iter
+    else:
+        learner.iteration_callback = on_iteration
     learner.learn(iterations=args.iterations)
 
 

@@ -301,7 +301,8 @@ class Arena:
             self.hitbox_offset_t, dt, active, teams)
 
         cb_car_dvel, cb_car_dang, cb_ball_dvel, cb_ball_dang, \
-            ball_cache, ball_hit, new_bhi = core_col.car_ball_contacts(
+            cb_ball_dpos, ball_cache, ball_hit, new_bhi = \
+            core_col.car_ball_contacts(
                 cars, ball, mut, self.game_mode, self.ii_diag,
                 self.hitbox_half_t, self.hitbox_offset_t, dt, active,
                 core.tick_count)
@@ -357,10 +358,12 @@ class Arena:
         # --- integrate positions ---
         new_rot = core_rb.integrate_rotation(cars.rot, cars.ang_vel, dt)
         cars = cars.replace(
-            pos=cars.pos + vwhere(active, cars.vel * dt + cw_dpos, zero3),
+            pos=cars.pos + vwhere(
+                active, cars.vel * dt + cw_dpos + cc["dpos"], zero3),
             rot=mwhere(active, new_rot, cars.rot))
         ball = ball.replace(
-            pos=vwhere(sleeping, ball.pos, ball.pos + ball.vel * dt))
+            pos=vwhere(sleeping, ball.pos,
+                       ball.pos + ball.vel * dt + cb_ball_dpos))
         if self.game_mode == GameMode.SNOWDAY:
             # The puck is the one ball shape whose orientation matters
             # (m_noRot only applies to spheres, Ball.cpp:107): integrate

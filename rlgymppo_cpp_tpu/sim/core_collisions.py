@@ -136,7 +136,8 @@ def car_ball_contacts(cars, ball, mut, geom_mode, ii_diag, half_extents,
     """Car-ball contact + extra impulse (Arena.cpp:283-334).
 
     Returns (car_dvel V3 [P,N], car_dang, ball_dvel V3 [N], ball_dang,
-    ball_cache V3 [N], hit [P,N], new ball_hit_info)."""
+    ball_dpos V3 [N] split-impulse push-out, ball_cache V3 [N], hit [P,N],
+    new ball_hit_info)."""
     half = tuple(h + BOX_MARGIN for h in half_extents)
     ball_pos = ball.pos                        # V3 [N] -> bcast vs [P, N]
     contact, normal, depth = _sphere_obb(
@@ -162,6 +163,10 @@ def car_ball_contacts(cars, ball, mut, geom_mode, ii_diag, half_extents,
     car_dang = vwhere(hit, dang_c, zero)
     ball_dvel = vwhere(hit, dvel_b, zero).sum(axis=0)
     ball_dang = vwhere(hit, dang_b, zero).sum(axis=0)
+    # split-impulse positional separation: the (much lighter) ball takes
+    # the push-out, along the contact normal (car->ball)
+    push = SPLIT_IMPULSE_ERP * jnp.maximum(depth - PENETRATION_SLOP, 0.0)
+    ball_dpos = vwhere(hit, normal * push, zero).sum(axis=0)
 
     # --- extra impulse (once per 2 ticks per car, Arena.cpp:293-334) ---
     bhi = cars.ball_hit_info
@@ -209,8 +214,8 @@ def car_ball_contacts(cars, ball, mut, geom_mode, ii_diag, half_extents,
             do_extra, jnp.broadcast_to(tick, hit.shape),
             bhi.tick_count_when_extra_impulse_applied),
     )
-    return car_dvel, car_dang, ball_dvel, ball_dang, ball_cache_impulse, \
-        hit, new_bhi
+    return car_dvel, car_dang, ball_dvel, ball_dang, ball_dpos, \
+        ball_cache_impulse, hit, new_bhi
 
 
 def _vswap(v: V3) -> V3:
@@ -229,7 +234,7 @@ def car_car_contacts(cars, mut, ii_diag, half_extents, offset, dt, active,
         z3 = V3.zeros((P, N))
         pp = jnp.zeros((P, P, N), bool)
         return {
-            "dvel": z3, "dang": z3, "bump": pp, "demo": pp,
+            "dvel": z3, "dang": z3, "dpos": z3, "bump": pp, "demo": pp,
             "victim_impulse": z3,
             "bumper_other": cars.car_contact_other_idx,
             "bumper_cooldown": cars.car_contact_cooldown_timer,
@@ -275,6 +280,48 @@ def car_car_contacts(cars, mut, ii_diag, half_extents, offset, dt, active,
                  axis_is_z * sign_best)
     normal_dir = rot_i.mv(n_local)                    # [Pi, Pj, N]
 
+    # --- SAT fallback over the 6 face axes -------------------------------
+    # Two identical aligned boxes (head-on bumps between same-model cars,
+    # THE common case) overlap face-to-face with every corner exactly ON
+    # the other box's face planes — the corner-in-box test above never
+    # fires. Bullet's box-box SAT manifold handles this; here the 6 face
+    # axes (cross-axis edge-edge contacts are negligible for car bumps)
+    # give penetration + normal, and the contact point is the other box's
+    # center clamped into this box.
+    rot_j_sat = cars.rot.expand(0)
+    center_i = (cars.pos + cars.rot.mv(V3.of(*offset))).expand(1)
+    center_j = (cars.pos + cars.rot.mv(V3.of(*offset))).expand(0)
+    d_ij = center_j - center_i
+
+    sat_pen = jnp.full(pair_shape, jnp.inf)
+    sat_normal = V3.zeros(pair_shape)
+    for axes_rot in (rot_i, rot_j_sat):
+        for a in (axes_rot.f, axes_rot.r, axes_rot.u):
+            ri = (half[0] * jnp.abs(a.dot(rot_i.f))
+                  + half[1] * jnp.abs(a.dot(rot_i.r))
+                  + half[2] * jnp.abs(a.dot(rot_i.u)))
+            rj = (half[0] * jnp.abs(a.dot(rot_j_sat.f))
+                  + half[1] * jnp.abs(a.dot(rot_j_sat.r))
+                  + half[2] * jnp.abs(a.dot(rot_j_sat.u)))
+            dist = a.dot(d_ij)
+            overlap = ri + rj - jnp.abs(dist)
+            better = overlap < sat_pen
+            sat_pen = jnp.where(better, overlap, sat_pen)
+            signed = a * jnp.where(dist >= 0, 1.0, -1.0)
+            sat_normal = vwhere(better, signed, sat_normal)
+
+    # contact point: j's center clamped into i's box (world frame)
+    local_cj = rot_i.tmv(d_ij)
+    clamped = V3(jnp.clip(local_cj.x, -half[0], half[0]),
+                 jnp.clip(local_cj.y, -half[1], half[1]),
+                 jnp.clip(local_cj.z, -half[2], half[2]))
+    sat_contact = center_i + rot_i.mv(clamped)
+
+    use_sat = (pen_dir <= 0.0) & (sat_pen > 0.0)
+    pen_dir = jnp.where(use_sat, sat_pen, pen_dir)
+    contact_dir = vwhere(use_sat, sat_contact, contact_dir)
+    normal_dir = vwhere(use_sat, sat_normal, normal_dir)
+
     eye = jnp.eye(P, dtype=bool)[..., None]
     both_active = active[:, None] & active[None, :] & ~eye
     hit_dir = (pen_dir > 0.0) & both_active
@@ -304,6 +351,25 @@ def car_car_contacts(cars, mut, ii_diag, half_extents, offset, dt, active,
         normal_ij, jnp.maximum(pen_pair, 0.0),
         C.CARCAR_COLLISION_RESTITUTION, C.CARCAR_COLLISION_FRICTION, dt)
 
+    # Face-face (SAT) contacts resolve as a rigid multi-point manifold in
+    # bullet — the 4+ solver points make the response translation-
+    # dominant. A single point with the full inertia denominator both
+    # softens the impulse (~25% low on head-on bumps vs the recorded
+    # reference) and adds spurious spin, so SAT contacts use a
+    # linear-only impulse instead.
+    def ii_zero(v):
+        return V3(v.x * 0.0, v.y * 0.0, v.z * 0.0)
+
+    dvel_j_lin, _dj, dvel_i_lin, _di, _ = rb.contact_impulse_pair(
+        vel_j, ang_j, inv_mass, ii_zero, rel_j,
+        vel_i, ang_i, inv_mass, ii_zero, rel_i,
+        normal_ij, jnp.maximum(pen_pair, 0.0),
+        C.CARCAR_COLLISION_RESTITUTION, C.CARCAR_COLLISION_FRICTION, dt)
+    dvel_j_ = vwhere(use_sat, dvel_j_lin, dvel_j_)
+    dvel_i_ = vwhere(use_sat, dvel_i_lin, dvel_i_)
+    dang_j_ = vwhere(use_sat, ii_zero(dang_j_), dang_j_)
+    dang_i_ = vwhere(use_sat, ii_zero(dang_i_), dang_i_)
+
     triu = jnp.triu(jnp.ones((P, P), dtype=bool), 1)[..., None]
     resolve = contact_ij & triu
     resolve_T = jnp.swapaxes(resolve, 0, 1)
@@ -311,6 +377,14 @@ def car_car_contacts(cars, mut, ii_diag, half_extents, offset, dt, active,
             + vwhere(resolve_T, _vswap(dvel_j_), zero).sum(axis=1))
     dang = (vwhere(resolve, dang_i_, zero).sum(axis=1)
             + vwhere(resolve_T, _vswap(dang_j_), zero).sum(axis=1))
+    # split-impulse separation: equal masses, half the push-out each
+    # (normal_ij points i -> j)
+    push = SPLIT_IMPULSE_ERP * 0.5 * jnp.maximum(
+        pen_pair - PENETRATION_SLOP, 0.0)
+    dpos_i_ = normal_ij * -push
+    dpos_j_ = normal_ij * push
+    dpos = (vwhere(resolve, dpos_i_, zero).sum(axis=1)
+            + vwhere(resolve_T, _vswap(dpos_j_), zero).sum(axis=1))
 
     # ---------------- bump / demo rules (i bumps j) ----------------
     either_demoed = cars.is_demoed[:, None] | cars.is_demoed[None, :]
@@ -362,7 +436,8 @@ def car_car_contacts(cars, mut, ii_diag, half_extents, offset, dt, active,
     bumper_cooldown = jnp.where(any_bump, mut.bump_cooldown_time,
                                 cars.car_contact_cooldown_timer)
     return {
-        "dvel": dvel, "dang": dang, "bump": bump, "demo": is_demo,
+        "dvel": dvel, "dang": dang, "dpos": dpos, "bump": bump,
+        "demo": is_demo,
         "victim_impulse": victim_impulse,
         "bumper_other": bumper_other, "bumper_cooldown": bumper_cooldown,
     }

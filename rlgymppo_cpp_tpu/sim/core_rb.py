@@ -89,9 +89,15 @@ def contact_impulse_static(vel, ang_vel, inv_mass, ii_apply, rel_pos,
 
 def contact_impulse_pair(vel_a, ang_a, inv_mass_a, ii_a, rel_a,
                          vel_b, ang_b, inv_mass_b, ii_b, rel_b,
-                         normal, penetration, restitution, friction, dt):
+                         normal, penetration, restitution, friction, dt,
+                         use_position_bias=False):
     """Two dynamic bodies; normal points B -> A.
-    Returns (dvel_a, dang_a, dvel_b, dang_b, jn)."""
+    Returns (dvel_a, dang_a, dvel_b, dang_b, jn).
+
+    No Baumgarte bias by default: the reference's solver config routes
+    ALL penetration recovery through split impulse (positional,
+    Arena.cpp:485-488) — velocity bias here made car-ball hits ~40%% too
+    hot and car bumps explosive (caught by the golden traces)."""
     va = velocity_at_point(vel_a, ang_a, rel_a)
     vb = velocity_at_point(vel_b, ang_b, rel_b)
     v_rel = va - vb
@@ -99,7 +105,10 @@ def contact_impulse_pair(vel_a, ang_a, inv_mass_a, ii_a, rel_a,
 
     bounce = jnp.where(-vn > RESTITUTION_VELOCITY_THRESHOLD,
                        restitution * -vn, 0.0)
-    bias = ERP2 * jnp.maximum(penetration, 0.0) / dt
+    if use_position_bias:
+        bias = ERP2 * jnp.maximum(penetration, 0.0) / dt
+    else:
+        bias = jnp.zeros_like(vn)
 
     denom = (impulse_denominator(inv_mass_a, ii_a, rel_a, normal)
              + impulse_denominator(inv_mass_b, ii_b, rel_b, normal))
