@@ -100,14 +100,17 @@ def main():
         ),
         send_metrics=not args.no_metrics,
         render_mode=args.render,
-        skill_tracker=SkillTrackerConfig(enabled=args.skill_tracker,
-                                         num_envs=64),
+        skill_tracker=SkillTrackerConfig(
+            enabled=args.skill_tracker, num_envs=64,
+            timesteps_per_version=5_000_000, max_versions=6),
         checkpoint_save_folder="checkpoints/train_1v1",
         checkpoint_load_folder="checkpoints/train_1v1",
     )
 
     if args.fused:
-        cfg.ppo.mini_batch_size = 0
+        # keep examplemain's 4 minibatch updates per batch; the fused
+        # train step shuffles + scans minibatches in-program
+        cfg.ppo.mini_batch_size = ts_per_itr // 4
 
     geom = None
     if args.mesh:

@@ -166,14 +166,22 @@ void cmf_close(void* handle) { delete (Mesh*)handle; }
 
 // ----------------------------------------------------------------- SDF bake
 
-// Bake an unsigned-distance + direction grid from a triangle soup.
+// Bake a SIGNED-distance + direction grid from a triangle soup.
 //
 // Grid point (i,j,k) sits at bounds_min + cell * (i,j,k). For every grid
-// point within `band` of some triangle, out_dist holds the exact distance
-// to the nearest triangle and out_dir the unit vector from the closest
-// surface point toward the grid point (the contact push direction);
-// points beyond the band hold `band` and a zero vector. Multithreaded
-// over triangles with per-thread grids merged at the end.
+// point within `band` of some triangle, out_dist holds the distance to
+// the nearest triangle SIGNED by the side of that triangle's plane the
+// point is on (triangles must be wound so normals point into the playable
+// volume — sim/soccar_mesh.py guarantees this; positive = inside).
+// out_dir is the unit push-toward-inside direction. Points beyond the
+// band hold +band and a zero vector.
+//
+// The sign is load-bearing: an unsigned field has a |d| kink AT the
+// surface, and trilinear interpolation across the kink overestimates the
+// distance at the surface itself (with 46 uu z-cells the floor read
+// ~22 uu of clearance — suspension rays and contacts never fired and
+// cars fell through the world). A signed field is linear across the
+// surface, so interpolation is exact there.
 void cmf_bake_sdf(const float* verts, int32_t num_verts,
                   const int32_t* tris, int32_t num_tris,
                   const float* bounds_min, const float* cell,
@@ -197,6 +205,13 @@ void cmf_bake_sdf(const float* verts, int32_t num_verts,
             const float* a = &verts[tris[t * 3 + 0] * 3];
             const float* b = &verts[tris[t * 3 + 1] * 3];
             const float* c = &verts[tris[t * 3 + 2] * 3];
+
+            // triangle normal (winding: points toward the inside)
+            float e1[3] = {b[0] - a[0], b[1] - a[1], b[2] - a[2]};
+            float e2[3] = {c[0] - a[0], c[1] - a[1], c[2] - a[2]};
+            float nrm[3] = {e1[1] * e2[2] - e1[2] * e2[1],
+                            e1[2] * e2[0] - e1[0] * e2[2],
+                            e1[0] * e2[1] - e1[1] * e2[0]};
 
             float lo[3], hi[3];
             for (int d = 0; d < 3; d++) {
@@ -229,9 +244,14 @@ void cmf_bake_sdf(const float* verts, int32_t num_verts,
                         float dz = p[2] - closest[2];
                         float dist = std::sqrt(dx * dx + dy * dy + dz * dz);
                         int64_t idx = (i * ny + j) * nz + k;
-                        if (dist < out_dist[idx]) {
-                            out_dist[idx] = dist;
-                            float inv = dist > 1e-9f ? 1.0f / dist : 0.0f;
+                        if (dist < std::fabs(out_dist[idx])) {
+                            float side =
+                                dx * nrm[0] + dy * nrm[1] + dz * nrm[2];
+                            float sgn = side >= 0 ? 1.0f : -1.0f;
+                            out_dist[idx] = dist * sgn;
+                            // push-toward-inside: flip for outside points
+                            float inv =
+                                dist > 1e-9f ? sgn / dist : 0.0f;
                             out_dir[idx * 3 + 0] = dx * inv;
                             out_dir[idx * 3 + 1] = dy * inv;
                             out_dir[idx * 3 + 2] = dz * inv;

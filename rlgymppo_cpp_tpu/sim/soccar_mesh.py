@@ -28,15 +28,27 @@ from rlgymppo_cpp_tpu.sim.arena_geom import (
 
 
 class _MeshBuilder:
+    """Quads -> triangles with consistent INWARD winding.
+
+    The SDF baker (native/cmf_loader.cpp) derives the distance sign from
+    each triangle's normal; every quad must be wound so its normal points
+    toward the playable side. `ref` is any point on that side."""
+
     def __init__(self):
         self.verts = []
         self.tris = []
 
-    def quad(self, a, b, c, d):
-        """Two triangles for the planar quad a-b-c-d (in order)."""
+    def quad(self, a, b, c, d, ref):
         i = len(self.verts)
         self.verts += [a, b, c, d]
-        self.tris += [(i, i + 1, i + 2), (i, i + 2, i + 3)]
+        av, bv, cv = (np.asarray(a, np.float64), np.asarray(b, np.float64),
+                      np.asarray(c, np.float64))
+        n = np.cross(bv - av, cv - av)
+        centroid = (av + bv + cv) / 3.0
+        if np.dot(n, np.asarray(ref, np.float64) - centroid) >= 0:
+            self.tris += [(i, i + 1, i + 2), (i, i + 2, i + 3)]
+        else:
+            self.tris += [(i, i + 2, i + 1), (i, i + 3, i + 2)]
 
     def arrays(self):
         return (np.asarray(self.tris, np.int32),
@@ -55,15 +67,17 @@ def make_soccar_mesh():
     xw = CORNER_INTERSECTION - ey          # back-wall x extent (2944)
 
     m = _MeshBuilder()
+    bowl = (0.0, 0.0, ez / 2)          # interior reference of the bowl
 
     # Floor (whole bowl incl. goal mouths) and ceiling
-    m.quad((-ex, -ny, 0), (ex, -ny, 0), (ex, ny, 0), (-ex, ny, 0))
-    m.quad((-ex, -ey, ez), (ex, -ey, ez), (ex, ey, ez), (-ex, ey, ez))
+    m.quad((-ex, -ny, 0), (ex, -ny, 0), (ex, ny, 0), (-ex, ny, 0), bowl)
+    m.quad((-ex, -ey, ez), (ex, -ey, ez), (ex, ey, ez), (-ex, ey, ez),
+           bowl)
 
     # Side walls x = +/-ex over the un-wedged y span
     for sx in (1.0, -1.0):
         m.quad((sx * ex, -yw, 0), (sx * ex, yw, 0),
-               (sx * ex, yw, ez), (sx * ex, -yw, ez))
+               (sx * ex, yw, ez), (sx * ex, -yw, ez), bowl)
 
     # 45-degree corner wedges: from (sx*ex, sy*yw) to (sx*xw, sy*ey)
     for sx in (1.0, -1.0):
@@ -71,22 +85,25 @@ def make_soccar_mesh():
             a = (sx * ex, sy * yw)
             b = (sx * xw, sy * ey)
             m.quad((a[0], a[1], 0), (b[0], b[1], 0),
-                   (b[0], b[1], ez), (a[0], a[1], ez))
+                   (b[0], b[1], ez), (a[0], a[1], ez), bowl)
 
     # Back walls y = +/-ey: 3 regions around the goal opening
     for sy in (1.0, -1.0):
         y = sy * ey
-        m.quad((-xw, y, gh), (xw, y, gh), (xw, y, ez), (-xw, y, ez))
-        m.quad((gw, y, 0), (xw, y, 0), (xw, y, gh), (gw, y, gh))
-        m.quad((-xw, y, 0), (-gw, y, 0), (-gw, y, gh), (-xw, y, gh))
+        goal = (0.0, sy * (ey + ny) / 2, gh / 2)   # goal-box interior
+        m.quad((-xw, y, gh), (xw, y, gh), (xw, y, ez), (-xw, y, ez), bowl)
+        m.quad((gw, y, 0), (xw, y, 0), (xw, y, gh), (gw, y, gh), bowl)
+        m.quad((-xw, y, 0), (-gw, y, 0), (-gw, y, gh), (-xw, y, gh), bowl)
 
         # Goal box: net, side walls, roof
         yn = sy * ny
-        m.quad((-gw, yn, 0), (gw, yn, 0), (gw, yn, gh), (-gw, yn, gh))
+        m.quad((-gw, yn, 0), (gw, yn, 0), (gw, yn, gh), (-gw, yn, gh),
+               goal)
         for sx in (1.0, -1.0):
             m.quad((sx * gw, y, 0), (sx * gw, yn, 0),
-                   (sx * gw, yn, gh), (sx * gw, y, gh))
-        m.quad((-gw, y, gh), (gw, y, gh), (gw, yn, gh), (-gw, yn, gh))
+                   (sx * gw, yn, gh), (sx * gw, y, gh), goal)
+        m.quad((-gw, y, gh), (gw, y, gh), (gw, yn, gh), (-gw, yn, gh),
+               goal)
 
     return m.arrays()
 
@@ -112,7 +129,7 @@ def make_soccar_mesh_geom(dims=SOCCAR_SDF_DIMS, band=300.0, cache_dir=None):
     os.makedirs(cache_dir, exist_ok=True)
     cmf_path = os.path.join(cache_dir, "soccar_generated.cmf")
     key = "x".join(map(str, dims))
-    npz_path = os.path.join(cache_dir, f"soccar_sdf_{key}.npz")
+    npz_path = os.path.join(cache_dir, f"soccar_sdf_v2_{key}.npz")
 
     if os.path.exists(npz_path):
         with np.load(npz_path) as z:

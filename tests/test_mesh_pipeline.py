@@ -28,10 +28,17 @@ def box_room_mesh(hx=1000.0, hy=1000.0, hz=500.0):
         (I(0,0,0), I(1,0,0), I(1,0,1), I(0,0,1)),  # -y wall
         (I(0,1,0), I(1,1,0), I(1,1,1), I(0,1,1)),  # +y wall
     ]
+    # Wind every quad so normals face the room interior: the SDF bake is
+    # SIGNED by triangle winding (native/cmf_loader.cpp).
+    center = np.asarray([0.0, 0.0, hz])
     tris = []
     for a, b, c, d in quads:
-        tris.append((a, b, c))
-        tris.append((a, c, d))
+        av, bv, cv = verts[a].astype(float), verts[b].astype(float),             verts[c].astype(float)
+        n = np.cross(bv - av, cv - av)
+        if np.dot(n, center - (av + bv + cv) / 3.0) >= 0:
+            tris += [(a, b, c), (a, c, d)]
+        else:
+            tris += [(a, c, b), (a, d, c)]
     return np.asarray(tris, np.int32), verts
 
 
@@ -105,3 +112,22 @@ def test_sdf_raycast():
     up = jnp.asarray([[0.0, 0.0, 1.0]])
     hit, t, _ = geom.raycast(start, up, jnp.asarray([200.0]))
     assert not bool(hit[0])              # ceiling is 700 away
+
+
+def test_sdf_signed_across_surface():
+    """The field is SIGNED: linear across the surface (no |d| kink), so
+    trilinear interpolation is exact AT the surface — the property that
+    keeps suspension rays and contacts working (an unsigned field read
+    ~half a cell of phantom clearance at the floor)."""
+    tris, verts = box_room_mesh()
+    dist, dirs, bmin, cell = bake_sdf(
+        tris, verts, (-1100, -1100, -100), (1100, 1100, 1100),
+        dims=(45, 45, 25), band=400.0)
+    geom = MeshGeom(dist, dirs, bmin, cell)
+    for z, want in ((150.0, 150.0), (50.0, 50.0), (0.0, 0.0),
+                    (-50.0, -50.0)):
+        d = float(geom._sample(jnp.asarray([[0.0, 0.0, z]]))[0][0])
+        assert abs(d - want) < 3.0, (z, d)
+    # push direction points back inside even from below the floor
+    _, n = geom._sample(jnp.asarray([[0.0, 0.0, -30.0]]))
+    assert float(n[0, 2]) > 0.9

@@ -53,9 +53,11 @@ def test_mesh_floor_distance_exact(mesh_geom):
 def test_ball_bounces_on_mesh_floor(mesh_arena):
     arena = mesh_arena
     state = arena.default_state((1,))
+    # epsilon velocity: a zero-vel ball sleeps in BOTH engines
+    # (Arena.cpp:721-727)
     state = state.replace(ball=state.ball.replace(
         pos=jnp.asarray([[0.0, 0.0, 500.0]]),
-        vel=jnp.asarray([[0.0, 0.0, 0.0]])))
+        vel=jnp.asarray([[0.0, 0.0, -1.0]])))
     controls = CarControls.zeros((1, 1))
     key = jax.random.PRNGKey(0)
     step = arena.step_jit(30)

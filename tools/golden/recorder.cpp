@@ -283,8 +283,9 @@ int main(int argc, char** argv) {
             a->ball->SetState(bs);
         };
     };
+    // epsilon vel: zero-vel balls sleep (Arena.cpp:721-727)
     add({"ball_drop", 400, 1,
-         ballSetup(ballAt({0, 0, 1000})),
+         ballSetup(ballAt({0, 0, 1000}, {0, 0, -1})),
          {{{400, ctl()}}}});
     add({"ball_roll", 400, 1,
          ballSetup(ballAt({-1000, 0, 93.15f}, {1200, 300, 0})),
@@ -350,7 +351,7 @@ int main(int argc, char** argv) {
     // --- snowday puck (cylinder hull, Ball.cpp:51-81) ---
     // Scenario names prefixed "snowday_"/"heatseeker_" pick that game mode.
     add({"snowday_puck_drop", 300, 1,
-         ballSetup(ballAt({0, 0, 500})),
+         ballSetup(ballAt({0, 0, 500}, {0, 0, -1})),
          {{{300, ctl()}}}});
     add({"snowday_puck_slide", 300, 1,
          ballSetup(ballAt({-1000, 0, 31.3f}, {900, 200, 0})),
