@@ -23,7 +23,11 @@ INF = 1e30
 class MeshGeom:
     """Distance-grid world. Static arrays; hashable by id; jit-friendly."""
 
-    RAY_STEPS = 12
+    # Suspension rays are short (<~70 uu) and the field is locally
+    # near-linear, so sphere tracing converges geometrically; 6 steps is
+    # within a fraction of a uu of the 12-step answer at half the gathers
+    # (gathers are the mesh world's whole cost on TPU).
+    RAY_STEPS = 6
 
     def __init__(self, dist, dirs, bounds_min, cell):
         self.dist = jnp.asarray(dist, jnp.float32)          # [X, Y, Z]
@@ -31,7 +35,25 @@ class MeshGeom:
         self.bounds_min = jnp.asarray(bounds_min, jnp.float32)
         self.cell = jnp.asarray(cell, jnp.float32)
         self.dims = self.dist.shape
-        self.band = float(np.asarray(dist).max())
+        self.band = float(np.abs(np.asarray(dist)).max())
+
+        # Corner-packed mirror of the grid: cell (i,j,k) holds its 8
+        # corner distances contiguously, so one trilinear sample is ONE
+        # 8-wide row gather instead of 8 scattered gathers — TPU gathers
+        # are row-oriented, making this ~8x cheaper. (+8x memory: ~35 MB
+        # at soccar resolution, irrelevant next to HBM.)
+        d = np.asarray(dist, np.float32)
+        X, Y, Z = d.shape
+        packed = np.empty((X - 1, Y - 1, Z - 1, 8), np.float32)
+        c = 0
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    packed[..., c] = d[dx:X - 1 + dx, dy:Y - 1 + dy,
+                                       dz:Z - 1 + dz]
+                    c += 1
+        self._packed = jnp.asarray(packed.reshape(-1, 8))
+        self._cdims = (X - 1, Y - 1, Z - 1)
 
     @classmethod
     def from_cmf(cls, paths, bounds_min, bounds_max, dims=(128, 160, 64),
@@ -70,18 +92,18 @@ class MeshGeom:
         i0 = jnp.floor(f).astype(jnp.int32)
         t = f - i0
 
-        def gather(offset):
-            idx = i0 + jnp.asarray(offset, jnp.int32)
-            return self.dist[idx[..., 0], idx[..., 1], idx[..., 2]]
+        # one 8-wide row gather per sample (see __init__._packed)
+        cx, cy, cz = self._cdims
+        flat_idx = (i0[..., 0] * cy + i0[..., 1]) * cz + i0[..., 2]
+        corners = jnp.take(self._packed, flat_idx, axis=0)   # [..., 8]
 
-        d = 0.0
-        for dx in (0, 1):
-            for dy in (0, 1):
-                for dz in (0, 1):
-                    w = (jnp.where(dx, t[..., 0], 1 - t[..., 0])
-                         * jnp.where(dy, t[..., 1], 1 - t[..., 1])
-                         * jnp.where(dz, t[..., 2], 1 - t[..., 2]))
-                    d = d + w * gather((dx, dy, dz))
+        wx1, wy1, wz1 = t[..., 0], t[..., 1], t[..., 2]
+        wx0, wy0, wz0 = 1 - wx1, 1 - wy1, 1 - wz1
+        w = jnp.stack([wx0 * wy0 * wz0, wx0 * wy0 * wz1,
+                       wx0 * wy1 * wz0, wx0 * wy1 * wz1,
+                       wx1 * wy0 * wz0, wx1 * wy0 * wz1,
+                       wx1 * wy1 * wz0, wx1 * wy1 * wz1], axis=-1)
+        d = jnp.sum(corners * w, axis=-1)
 
         # Direction from the nearest cell (cheap; unit-ish is fine for a
         # contact normal; re-normalized with an epsilon guard)
