@@ -348,6 +348,19 @@ int main(int argc, char** argv) {
          },
          {{{200, ctl(1, 0, 0, 0, 0, false, true)}}, {{200, ctl()}}}});
 
+    // --- boost pads: drive over the big pad at (-3584, 0), then small
+    // pads; records boost gain + pickup timing (BoostPad.cpp:51-105) ---
+    add({"pad_pickup_big", 300, 1,
+         soloSetup(carAt({-3900, 0, REST_Z}, 0, 0, 0, {600, 0, 0}, {0, 0, 0},
+                         10.f)),
+         {{{300, ctl(1)}}}});
+    add({"pad_pickup_small_row", 360, 1,
+         // small pads at (0, -4240), (-1792, -4184), (1792, -4184):
+         // drive along y=-4240-ish from -2200 to +2200
+         soloSetup(carAt({-2200, -4240, REST_Z}, 0, 0, 0, {800, 0, 0},
+                         {0, 0, 0}, 20.f)),
+         {{{360, ctl(1)}}}});
+
     // --- snowday puck (cylinder hull, Ball.cpp:51-81) ---
     // Scenario names prefixed "snowday_"/"heatseeker_" pick that game mode.
     add({"snowday_puck_drop", 300, 1,
@@ -367,6 +380,17 @@ int main(int argc, char** argv) {
              a->ball->SetState(bs);
          },
          {{{300, ctl()}}}});
+    add({"heatseeker_onhit", 260, 1,
+         // car drives into the homing ball: _OnHit flips the target dir
+         // and bumps the target speed (Ball.cpp:203-215)
+         [](Arena* a, std::vector<Car*>& cars) {
+             cars[0]->SetState(
+                 carAt({-600, 0, REST_Z}, 0, 0, 0, {1300, 0, 0}));
+             BallState bs = ballAt({100, 0, 120}, {-400, 0, 0});
+             bs.hsInfo.yTargetDir = -1.0f;   // heading to blue's net
+             a->ball->SetState(bs);
+         },
+         {{{260, ctl(1)}}}});
 
     for (auto& sc : scenarios) {
         GameMode mode = GameMode::SOCCAR;

@@ -184,12 +184,14 @@ def replay(name):
     arena = make_arena(C, mode_for(name))
     state = initial_state(arena, tr)
     if mode_for(name) == GameMode.HEATSEEKER:
-        # recorder sets hsInfo.yTargetDir = 1 (not in the trace format)
+        # recorder-set hsInfo.yTargetDir per scenario (not in the trace
+        # format; keep in sync with recorder.cpp)
+        hs_dir = {"heatseeker_homing": 1.0, "heatseeker_onhit": -1.0}[name]
         from rlgymppo_cpp_tpu.sim import constants as RC
         state = state.replace(ball=state.ball.replace(
             hs_info=state.ball.hs_info.replace(
-                y_target_dir=jnp.ones_like(
-                    state.ball.hs_info.y_target_dir),
+                y_target_dir=jnp.full_like(
+                    state.ball.hs_info.y_target_dir, hs_dir),
                 cur_target_speed=jnp.full_like(
                     state.ball.hs_info.cur_target_speed,
                     RC.Heatseeker.INITIAL_TARGET_SPEED))))
