@@ -90,8 +90,10 @@ TOL = {
     # homing exact until the car-ball hit; contact lands one tick apart
     # between the engines and the homing then amplifies the different
     # post-hit geometry — loose bounds still catch wrong _OnHit math
-    "heatseeker_onhit": dict(pos=120.0, vel=110.0, rot=7.0, bpos=450.0,
-                             bvel=900.0),
+    # compare through the hit + ~20 ticks: the 1-tick contact offset
+    # compounds at 2300 uu/s thereafter
+    "heatseeker_onhit": dict(pos=40.0, vel=280.0, rot=7.0, bpos=320.0,
+                             bvel=2400.0, until=40),
     "pad_pickup_big": dict(pos=1.0, vel=1.0, rot=0.2),
     "pad_pickup_small_row": dict(pos=1.0, vel=1.0, rot=0.2),
 }
