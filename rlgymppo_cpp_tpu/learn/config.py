@@ -65,6 +65,13 @@ class LearnerConfig:
     # collectionDuringLearn analog (LearnerConfig.h:44-46)
     collection_during_learn: bool = False
 
+    # RG_PARANOID_MODE analog (RLGymPPO_CPP Framework.h:30-34,
+    # GameTrajectory.h:12-24, ExperienceBuffer.cpp:72-88): thread a debug
+    # counter through the rollout and validate counter monotonicity +
+    # finite-ness of obs/rewards/log-probs every iteration, failing fast
+    # like RG_ERR_CLOSE. Off by default (reference builds it out too).
+    paranoid: bool = False
+
     ppo: PPOLearnerConfig = dataclasses.field(default_factory=PPOLearnerConfig)
 
     gae_lambda: float = 0.95

@@ -100,7 +100,7 @@ class Learner:
         else:
             self.collector = RolloutCollector(
                 gym, self.ppo.policy, deterministic=cfg.deterministic,
-                step_metrics_fn=step_metrics_fn)
+                step_metrics_fn=step_metrics_fn, paranoid=cfg.paranoid)
 
         self.skill_tracker = None
         if cfg.skill_tracker.enabled:
@@ -357,7 +357,8 @@ class Learner:
             self._train_step = make_train_step(
                 self.gym, self.ppo, cfg, self.steps_per_iter,
                 deterministic=cfg.deterministic,
-                step_metrics_fn=self.step_metrics_fn)
+                step_metrics_fn=self.step_metrics_fn,
+                paranoid=cfg.paranoid)
         self.key, sub = jax.random.split(self.key)
         (self.train_state, self._gym_state, self._obs, self.return_stats,
          metrics) = self._train_step(
@@ -366,6 +367,10 @@ class Learner:
         self.ppo.cumulative_model_updates += cfg.ppo.epochs
 
         m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        if cfg.paranoid and m.pop("paranoid_ok", 1.0) != 1.0:
+            raise RuntimeError(
+                "PARANOID: trajectory validation failed (non-finite "
+                "obs/rewards/log-probs or debug-counter mismatch)")
         report["Average Step Reward"] = m.pop("avg_step_reward")
         report["Average Episode Reward"] = m.pop("avg_episode_reward")
         report["Policy Entropy"] = m.pop("entropy")
@@ -510,6 +515,11 @@ class Learner:
             self.total_timesteps += ts_collected
 
             col_host = jax.device_get(col_metrics)
+            if cfg.paranoid and float(
+                    col_host.pop("paranoid_ok", 1.0)) != 1.0:
+                raise RuntimeError(
+                    "PARANOID: trajectory validation failed (non-finite "
+                    "obs/rewards/log-probs or debug-counter mismatch)")
             report["Average Step Reward"] = float(
                 col_host["avg_step_reward"])
             report["Average Episode Reward"] = float(
@@ -556,6 +566,17 @@ class Learner:
                   f"in {total:.1f}s "
                   f"({(self.total_timesteps - start_ts) / total:,.0f} sps)")
         return self
+
+    def profile_iterations(self, n: int, logdir: str):
+        """Capture a jax.profiler trace of `n` training iterations
+        (SURVEY §5.1: the reference only has wall-clock timers; on TPU the
+        profiler shows per-op device time, HBM traffic and fusion). View
+        with TensorBoard or xprof."""
+        import jax.profiler
+        with jax.profiler.trace(logdir):
+            self.learn(iterations=n)
+        print(f"Learner: wrote profiler trace for {n} iterations to "
+              f"{logdir}")
 
     def display_report(self, report: Report):
         print(report.display(REPORT_ORDER))

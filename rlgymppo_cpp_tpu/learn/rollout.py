@@ -84,16 +84,23 @@ class MultiGymCollector:
 
 class RolloutCollector:
     def __init__(self, gym, policy, deterministic=False,
-                 step_metrics_fn=None):
+                 step_metrics_fn=None, paranoid=False):
         """`step_metrics_fn(game_state, rewards, done) -> dict[str, scalar]`
         is the batched analog of the reference's per-step callback
         (GameInst::Step stepCallback, GameInst.cpp:23-24): it runs inside
         the rollout scan each env-step and its outputs are averaged over
-        the collected window into the collection metrics."""
+        the collected window into the collection metrics.
+
+        `paranoid` is the RG_PARANOID_MODE analog (RLGymPPO_CPP
+        Framework.h:30-34): a monotonically increasing debug counter is
+        threaded through the trajectory (GameTrajectory.h:12-24) and
+        finite-ness of obs/rewards/values is tracked per step, all
+        validated at consume time. Zero cost when off (static flag)."""
         self.gym = gym
         self.policy = policy
         self.deterministic = deterministic
         self.step_metrics_fn = step_metrics_fn
+        self.paranoid = paranoid
 
     @functools.partial(jax.jit, static_argnames=("self", "num_steps"))
     def collect(self, params, gym_state, obs, key, num_steps):
@@ -107,7 +114,7 @@ class RolloutCollector:
         P = self.gym.num_players
         O = self.gym.obs_size
 
-        def body(carry, _):
+        def body(carry, step_idx):
             gym_state, obs, key = carry
             key, k_act, k_step = jax.random.split(key, 3)
             flat_obs = obs.reshape(N * P, O)
@@ -131,10 +138,16 @@ class RolloutCollector:
             if self.step_metrics_fn is not None:
                 out["user_metrics"] = self.step_metrics_fn(
                     info["game_state"], rewards, done)
+            if self.paranoid:
+                out["debug_counter"] = step_idx
+                out["finite"] = (jnp.all(jnp.isfinite(obs))
+                                 & jnp.all(jnp.isfinite(rewards))
+                                 & jnp.all(jnp.isfinite(log_prob)))
             return (gym_state, next_obs, key), out
 
         (gym_state, last_obs, _), traj = jax.lax.scan(
-            body, (gym_state, obs, key), None, length=num_steps)
+            body, (gym_state, obs, key),
+            jnp.arange(num_steps, dtype=jnp.int32), length=num_steps)
 
         dones = traj["dones"]
         return self._finalize(gym_state, last_obs, traj, dones)
@@ -155,6 +168,15 @@ class RolloutCollector:
         if "user_metrics" in traj:
             user = traj.pop("user_metrics")
             metrics.update({k: jnp.mean(v) for k, v in user.items()})
+        if self.paranoid:
+            # counter monotonicity + finite-ness, validated like
+            # ExperienceBuffer's paranoid submit (ExperienceBuffer.cpp:72-88)
+            counter = traj.pop("debug_counter")
+            finite = traj.pop("finite")
+            T = counter.shape[0]
+            metrics["paranoid_ok"] = (
+                jnp.all(counter == jnp.arange(T, dtype=jnp.int32))
+                & jnp.all(finite)).astype(jnp.float32)
         return gym_state, last_obs, traj, metrics
 
     def collect_rendered(self, params, gym_state, obs, key, num_steps,

@@ -27,7 +27,7 @@ from rlgymppo_cpp_tpu.ops.welford import welford_std, welford_update_batch
 
 
 def make_train_step(gym, ppo, cfg, horizon, deterministic=False,
-                    step_metrics_fn=None):
+                    step_metrics_fn=None, paranoid=False):
     """Build the fused step.
 
     Returns a jitted fn:
@@ -41,7 +41,8 @@ def make_train_step(gym, ppo, cfg, horizon, deterministic=False,
     avg_advantage/avg_val_target), and the collector metrics.
     """
     collector = RolloutCollector(gym, ppo.policy, deterministic=deterministic,
-                                 step_metrics_fn=step_metrics_fn)
+                                 step_metrics_fn=step_metrics_fn,
+                                 paranoid=paranoid)
     N, P, O = gym.num_envs, gym.num_players, gym.obs_size
     total = horizon * N * P
     ppo_cfg = ppo.config

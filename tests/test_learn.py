@@ -311,3 +311,91 @@ def test_deterministic_resume(tmp_path):
     for x, y in zip(jax.tree.leaves(a.train_state["value"]),
                     jax.tree.leaves(b.train_state["value"])):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def _tiny_match(reward_fn=None):
+    from rlgymppo_cpp_tpu.gym import (
+        Match, DiscreteAction, DefaultOBS, CombinedReward,
+        VelocityPlayerToBallReward, NoTouchCondition, GoalScoreCondition,
+        RandomState,
+    )
+    return Match(
+        reward_fn=reward_fn or CombinedReward(
+            [(VelocityPlayerToBallReward(), 1.0)]),
+        terminal_conditions=[NoTouchCondition(50), GoalScoreCondition()],
+        obs_builder=DefaultOBS(),
+        action_parser=DiscreteAction(),
+        state_setter=RandomState(True, True, True),
+        team_size=1, spawn_opponents=False,
+    )
+
+
+def test_paranoid_mode_clean_run(tmp_path):
+    """RG_PARANOID_MODE analog: debug counter + finite checks pass on a
+    healthy run (Framework.h:30-34, ExperienceBuffer.cpp:72-88)."""
+    from rlgymppo_cpp_tpu.gym import Gym
+    from rlgymppo_cpp_tpu.learn import Learner, LearnerConfig, PPOLearnerConfig
+
+    gym = Gym(_tiny_match(), num_envs=4, tick_skip=8)
+    cfg = LearnerConfig(
+        num_envs=4, timesteps_per_iteration=32, exp_buffer_size=32,
+        ppo=PPOLearnerConfig(batch_size=32, mini_batch_size=0, epochs=1,
+                             policy_layer_sizes=(16,),
+                             critic_layer_sizes=(16,)),
+        checkpoint_load_folder=None, checkpoint_save_folder=None,
+        send_metrics=False, paranoid=True,
+    )
+    learner = Learner(gym, cfg)
+    learner.learn(iterations=2)
+    assert learner.total_timesteps == 64
+
+
+def test_paranoid_mode_catches_nan(tmp_path):
+    """A poisoned reward (NaN) must fail fast like RG_ERR_CLOSE."""
+    import pytest as _pytest
+    from rlgymppo_cpp_tpu.gym import Gym
+    from rlgymppo_cpp_tpu.gym.rewards import RewardFunction
+    from rlgymppo_cpp_tpu.learn import Learner, LearnerConfig, PPOLearnerConfig
+
+    class NaNReward(RewardFunction):
+        def compute(self, gs, prev_actions, final, carry):
+            r = jnp.full(gs.car_pos.shape[:-1], jnp.nan, jnp.float32)
+            return r, carry
+
+    gym = Gym(_tiny_match(NaNReward()), num_envs=4, tick_skip=8)
+    cfg = LearnerConfig(
+        num_envs=4, timesteps_per_iteration=32, exp_buffer_size=32,
+        ppo=PPOLearnerConfig(batch_size=32, mini_batch_size=0, epochs=1,
+                             policy_layer_sizes=(16,),
+                             critic_layer_sizes=(16,)),
+        checkpoint_load_folder=None, checkpoint_save_folder=None,
+        send_metrics=False, paranoid=True,
+    )
+    learner = Learner(gym, cfg)
+    with _pytest.raises(RuntimeError, match="PARANOID"):
+        learner.learn(iterations=1)
+
+
+def test_profiler_trace(tmp_path):
+    """Learner.profile_iterations writes a jax.profiler trace
+    (SURVEY §5.1 tracing beyond wall-clock timers)."""
+    import os
+    from rlgymppo_cpp_tpu.gym import Gym
+    from rlgymppo_cpp_tpu.learn import Learner, LearnerConfig, PPOLearnerConfig
+
+    gym = Gym(_tiny_match(), num_envs=4, tick_skip=8)
+    cfg = LearnerConfig(
+        num_envs=4, timesteps_per_iteration=32, exp_buffer_size=32,
+        ppo=PPOLearnerConfig(batch_size=32, mini_batch_size=0, epochs=1,
+                             policy_layer_sizes=(16,),
+                             critic_layer_sizes=(16,)),
+        checkpoint_load_folder=None, checkpoint_save_folder=None,
+        send_metrics=False,
+    )
+    learner = Learner(gym, cfg)
+    logdir = str(tmp_path / "trace")
+    learner.profile_iterations(1, logdir)
+    found = []
+    for root, _dirs, files in os.walk(logdir):
+        found += files
+    assert found, "no profiler trace files written"
