@@ -140,15 +140,44 @@ def car_ball_contacts(cars, ball, mut, geom_mode, ii_diag, half_extents,
     new ball_hit_info)."""
     half = tuple(h + BOX_MARGIN for h in half_extents)
     ball_pos = ball.pos                        # V3 [N] -> bcast vs [P, N]
-    contact, normal, depth = _sphere_obb(
-        ball_pos, cars.pos, cars.rot, half, offset, mut.ball_radius)
+    if geom_mode == C.GameMode.SNOWDAY:
+        # Puck vs car box: the reference collides the 20-gon cylinder
+        # hull against the hitbox (Ball.cpp:51-81). Support-point
+        # approximation: find the box point closest to the puck CENTER,
+        # take the puck's surface support point toward it
+        # (r along the radial component + h/2 along the axis), and
+        # contact that point against the box with a small margin — so a
+        # car meets the flat 31-uu-thin puck at its actual surface
+        # instead of an R=114 sphere.
+        from rlgymppo_cpp_tpu.sim.core_ball import puck_inv_inertia_diag
+        _, n0, _ = _sphere_obb(
+            ball_pos, cars.pos, cars.rot, half, offset, 0.0)
+        d = n0 * -1.0                          # puck center -> box
+        axis = ball.rot.u
+        c_ax = d.dot(axis)
+        n_perp = d - axis * c_ax
+        s_len = n_perp.norm()
+        u_hat = n_perp / jnp.maximum(s_len, 1e-6)
+        hh = C.Snowday.PUCK_HEIGHT / 2.0
+        sign_ax = jnp.where(c_ax >= 0, 1.0, -1.0)
+        support = ball_pos \
+            + u_hat * (mut.ball_radius * jnp.minimum(s_len * 1e6, 1.0)) \
+            + axis * (hh * sign_ax)
+        PUCK_SUPPORT_MARGIN = 6.0
+        contact, normal, depth = _sphere_obb(
+            support, cars.pos, cars.rot, half, offset,
+            PUCK_SUPPORT_MARGIN)
+        ii_ball = rb.make_box_ii(ball.rot, puck_inv_inertia_diag(mut))
+    else:
+        contact, normal, depth = _sphere_obb(
+            ball_pos, cars.pos, cars.rot, half, offset, mut.ball_radius)
+        ii_ball = rb.make_sphere_ii(
+            rb.sphere_inv_inertia_scalar(mut.ball_mass, mut.ball_radius))
     hit = (depth > 0.0) & active
 
     inv_mass_car = 1.0 / mut.car_mass
     inv_mass_ball = 1.0 / mut.ball_mass
     ii_car = rb.make_box_ii(cars.rot, ii_diag)
-    ii_ball = rb.make_sphere_ii(
-        rb.sphere_inv_inertia_scalar(mut.ball_mass, mut.ball_radius))
 
     rel_car = contact - cars.pos
     rel_ball = contact - ball_pos

@@ -83,6 +83,14 @@ TOL = {
     "snowday_puck_drop": dict(bpos=45.0, bvel=250.0),
     "snowday_puck_slide": dict(bpos=35.0, bvel=25.0),
     "snowday_puck_spin_bounce": dict(bpos=200.0, bvel=450.0),
+    # support-point cylinder-vs-box contact: interaction timing and the
+    # knock direction match, the post-hit trajectory drifts (the
+    # reference resolves the 20-gon hull against the box with a full
+    # manifold). Bounds catch gross errors (sphere-model contact fired
+    # ~80 uu early and sent the puck on a different side entirely).
+    "snowday_car_puck_hit": dict(pos=260.0, vel=260.0, rot=25.0,
+                                 bpos=1900.0, bvel=1900.0,
+                                 flag_slack=40),
 
     # homing is tick-exact; the tail flies past the back wall, which only
     # exists in this engine (the recorder arena has no goal meshes)

@@ -372,6 +372,14 @@ int main(int argc, char** argv) {
     add({"snowday_puck_spin_bounce", 300, 1,
          ballSetup(ballAt({0, -400, 400}, {600, 0, -800}, {0, 4, 1})),
          {{{300, ctl()}}}});
+    add({"snowday_car_puck_hit", 240, 1,
+         [](Arena* a, std::vector<Car*>& cars) {
+             cars[0]->SetState(
+                 carAt({-600, 0, REST_Z}, 0, 0, 0, {1300, 0, 0}));
+             a->ball->SetState(ballAt({0, 0, 31.3f}, {0, 0, -1}));
+         },
+         {{{240, ctl(1)}}}});
+
     add({"heatseeker_homing", 300, 1,
          [](Arena* a, std::vector<Car*>& cars) {
              cars[0]->SetState(carAt({3600, -3600, REST_Z}, 0));
