@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
 DEFAULT = dict(until=None, pos=8.0, vel=12.0, rot=1.5, bpos=8.0, bvel=10.0,
-               flag_slack=0)
+               flag_slack=0, boost_tol=1.0)
 TOL = {
     # smooth dynamics: near-exact
     "drive_throttle": dict(pos=1.0, vel=1.0, rot=0.2),
@@ -88,9 +88,11 @@ TOL = {
     # reference resolves the 20-gon hull against the box with a full
     # manifold). Bounds catch gross errors (sphere-model contact fired
     # ~80 uu early and sent the puck on a different side entirely).
+    # boost_tol 13: the post-hit car trajectories drift ~200 uu and one
+    # engine's car clips a small pad the other misses
     "snowday_car_puck_hit": dict(pos=260.0, vel=260.0, rot=25.0,
                                  bpos=1900.0, bvel=1900.0,
-                                 flag_slack=40),
+                                 flag_slack=40, boost_tol=13.0),
 
     # homing is tick-exact; the tail flies past the back wall, which only
     # exists in this engine (the recorder arena has no goal meshes)
@@ -179,7 +181,7 @@ def test_golden_trace(name):
             f"{name}: flag {f} mismatched for {bad} ticks (> {slack})"
 
     # scalar state-machine fields
-    for f, tol in (("boost", 1.0), ("handbrake_val", 0.05),
+    for f, tol in (("boost", t["boost_tol"]), ("handbrake_val", 0.05),
                    ("jump_time", 0.03), ("flip_time", 0.03)):
         err = np.abs(tr[f][:u] - ours[f][:u]).max()
         assert err <= tol, f"{name}: {f} err {err:.4f} > {tol}"
