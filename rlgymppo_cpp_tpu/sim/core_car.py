@@ -252,7 +252,11 @@ def car_pre_tick(cars, wheels, controls, geom, cfg, mut, dt,
     steer_angle = steer_angle + (ps_steer - steer_angle) * handbrake_val
     new_steer = steer_angle * controls.steer
 
-    # Friction scalars for next tick (Car.cpp:409-461)
+    # Friction scalars for next tick (Car.cpp:409-461). The reference's
+    # `latDir` there is basis.getColumn(1): the constructor's axis indices
+    # are overridden by Car.cpp:238 setCoordinateSystem(1, 2, 0), so
+    # column 1 is the steered AXLE (verified at runtime against the
+    # compiled engine, tools/golden/probe_friction.cpp).
     lat_dir_w, _ = _steered_axle_and_forward(cars, wheels.steer_angle)
     n = ray["contact_normal"]
     long_dir = lat_dir_w.cross(n)
