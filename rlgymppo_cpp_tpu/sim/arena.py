@@ -32,7 +32,9 @@ from rlgymppo_cpp_tpu.sim import core_car
 from rlgymppo_cpp_tpu.sim import core_collisions as core_col
 from rlgymppo_cpp_tpu.sim import core_pads
 from rlgymppo_cpp_tpu.sim.arena_geom import make_geom
-from rlgymppo_cpp_tpu.sim.car_config import CarConfig, CAR_CONFIG_OCTANE
+from rlgymppo_cpp_tpu.sim.car_config import (
+    CarConfig, CAR_CONFIG_OCTANE, bullet_effective_half_extents,
+)
 from rlgymppo_cpp_tpu.sim.constants import GameMode
 from rlgymppo_cpp_tpu.sim.core_state import (
     arena_state_to_core, arena_state_from_core, controls_to_core,
@@ -87,12 +89,26 @@ class Arena:
             self.pad_pos, self.pad_is_big = bp.pad_table(game_mode)
         self.num_pads = int(self.pad_pos.shape[0])
 
+        # Contact box: configured hitbox + bullet's convex margin. bullet's
+        # manifold forms ~1 uu outside the effective (implicit+margin) box
+        # and the solver's gap/dt allowance lets partial impulses fire up to
+        # ~3 uu outside the CONFIGURED surface at game speeds (measured with
+        # tools/golden/probe_contact.cpp), so `configured/2 + BOX_MARGIN` is
+        # the best sharp-box stand-in for the softened discrete contact.
         half = np.asarray(car_config.hitbox_size, np.float32) / 2 \
             + core_col.BOX_MARGIN
         self.hitbox_half = jnp.asarray(half)
         self.hitbox_offset = jnp.asarray(car_config.hitbox_pos_offset,
                                          jnp.float32)
-        self.inv_inertia_diag = rb.box_inv_inertia_local(self.mut.car_mass, half)
+        # Inertia: bullet computes calculateLocalInertia from the EFFECTIVE
+        # box (implicit + shrunk margin), ~0.13 uu smaller per extent than
+        # configured for Octane — a naive configured-size box is ~9% off on
+        # inverse inertia (verified vs getInvInertiaDiagLocal in
+        # tools/golden/probe_powerslide.cpp), which showed up as
+        # powerslide/drive_steer side-impulse drift.
+        inertia_half = bullet_effective_half_extents(car_config.hitbox_size)
+        self.inv_inertia_diag = rb.box_inv_inertia_local(
+            self.mut.car_mass, inertia_half)
 
         wcfg = car_config.wheel_arrays()
         self.wheels_cfg = {

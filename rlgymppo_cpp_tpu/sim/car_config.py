@@ -98,3 +98,27 @@ CAR_CONFIG_MERC = _mk(
     (123.22, 79.2103, 44.1591), (11.3757, 0.0, 21.505),
     15.00, 39.505, (51.25, 25.90, 21.505),
     15.00, 39.105, (-33.75, 29.50, 21.505))
+
+
+def bullet_effective_half_extents(hitbox_size):
+    """Effective collision/inertia half extents of the car hitbox, in UU.
+
+    bullet's btBoxShape stores `implicit = half - margin` at construction
+    with the default convex margin 0.04 m, then setSafeMargin may SHRINK
+    the margin to 0.1 * min(half) (btBoxShape.cpp:17-26,
+    btConvexInternalShape.h:63-78 in the vendored bullet3-3.24). Both the
+    collision surface and calculateLocalInertia use
+    `implicit + final_margin`, so the effective box is
+
+        half_bt - 0.04 + min(0.04, 0.1 * min(half_bt))
+
+    i.e. ~0.067 UU SMALLER than the configured hitbox per half extent for
+    Octane (and exactly the configured size for Merc, whose min half
+    extent exceeds 0.4 m). Verified against the compiled reference's
+    runtime getInvInertiaDiagLocal() (tools/golden/probe_powerslide.cpp):
+    a naive half+0.04m box is ~9% off on inverse inertia, which showed up
+    as the powerslide/drive_steer side-impulse drift.
+    """
+    half_bt = np.asarray(hitbox_size, np.float64) / 2.0 / 50.0
+    margin = min(0.04, 0.1 * float(half_bt.min()))
+    return np.asarray((half_bt - 0.04 + margin) * 50.0, np.float32)

@@ -13,10 +13,14 @@ contact events accumulate bounded divergence (single-pass analytic
 impulses vs bullet's iterative manifold solver). Tolerances are set a
 small factor above measured drift — tight enough that any constant-scale
 error (wrong curve gain, wrong timing constant, wrong mass/impulse scale)
-fails immediately. These traces caught three real solver bugs in round 2:
+fails immediately. These traces caught five real solver bugs in round 2:
 Baumgarte bias injecting velocity (the reference uses split impulse,
 Arena.cpp:485-488), car-car face contacts never registering for aligned
-identical hitboxes, and single-point face impulses running ~25% soft.
+identical hitboxes, single-point face impulses running ~25% soft, unsigned
+SDF reads giving phantom clearance at the mesh surface, and the car
+inertia tensor built from the CONFIGURED hitbox instead of bullet's
+margin-shrunk effective box (~9% off — the entire powerslide/drive_steer
+drift; see sim/car_config.py:bullet_effective_half_extents).
 
 Velocity errors are asserted at the 98th percentile over the trace: a
 bounce that lands one tick apart in the two engines produces a huge
@@ -55,29 +59,30 @@ TOL = {
     "jump_tap": dict(pos=2.0, vel=2.0, rot=0.5),
     "double_jump": dict(pos=2.5, vel=4.0, rot=0.5),
     "flip_forward": dict(pos=2.0, vel=2.0, rot=0.5),
-    "flip_sideways": dict(pos=6.0, vel=16.0, rot=0.6),
+    "flip_sideways": dict(pos=1.0, vel=1.0, rot=0.2),
+    "powerslide": dict(pos=1.0, vel=1.0, rot=0.2),
+    "drive_steer": dict(pos=1.0, vel=1.0, rot=0.2),
+    "wall_drive": dict(pos=1.0, vel=1.0, rot=0.2),
     "ball_drop": dict(bpos=5.0, bvel=6.0),
     "ball_roll": dict(bpos=2.0, bvel=2.0),
     "ball_arc": dict(bpos=4.0, bvel=3.0),
 
-    # contact-rich: measured drift x ~2 safety
-    "flip_cancel": dict(pos=15.0, vel=40.0, rot=12.0),
-    "auto_flip": dict(pos=16.0, vel=95.0, rot=10.0, flag_slack=6),
-    "powerslide": dict(pos=90.0, vel=70.0, rot=18.0),
-    "drive_steer": dict(pos=20.0, vel=50.0, rot=3.0),
-    "wall_drive": dict(pos=15.0, vel=12.0, rot=1.0),
-    "ceiling_stick": dict(pos=40.0, vel=25.0, rot=5.0, flag_slack=4),
+    # contact-rich: measured drift x ~1.5 safety (landing/contact ticks
+    # dominate the vel p98)
+    "flip_cancel": dict(pos=8.0, vel=60.0, rot=8.0),
+    "auto_flip": dict(pos=10.0, vel=80.0, rot=6.0, flag_slack=6),
+    "ceiling_stick": dict(pos=28.0, vel=20.0, rot=4.0, flag_slack=4),
     "ball_bounce_spin": dict(bpos=12.0, bvel=20.0),
     "ball_wall_bounce": dict(bpos=12.0, bvel=8.0),
     "ball_fast_clamp": dict(bpos=50.0, bvel=5.0),
-    "car_ball_hit": dict(pos=8.0, vel=15.0, bpos=90.0, bvel=70.0,
+    "car_ball_hit": dict(pos=4.0, vel=15.0, rot=2.0, bpos=85.0, bvel=60.0,
                          until=230),
-    "car_ball_hit_angled": dict(pos=8.0, vel=15.0, bpos=90.0, bvel=70.0,
-                                until=230),
-    "car_ball_aerial": dict(pos=60.0, vel=60.0, rot=14.0, bpos=35.0,
-                            bvel=60.0),
-    "car_bump": dict(pos=25.0, vel=110.0, rot=40.0, flag_slack=16),
-    "car_demo": dict(pos=12.0, vel=12.0, rot=3.0, flag_slack=4),
+    "car_ball_hit_angled": dict(pos=4.0, vel=15.0, rot=2.0, bpos=85.0,
+                                bvel=60.0, until=230),
+    "car_ball_aerial": dict(pos=45.0, vel=50.0, rot=10.0, bpos=35.0,
+                            bvel=50.0),
+    "car_bump": dict(pos=22.0, vel=105.0, rot=40.0, flag_slack=16),
+    "car_demo": dict(pos=9.0, vel=11.0, rot=2.5, flag_slack=4),
 
     # approximated shapes (documented): puck hull -> analytic cylinder
     "snowday_puck_drop": dict(bpos=45.0, bvel=250.0),

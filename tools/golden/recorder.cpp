@@ -234,9 +234,14 @@ int main(int argc, char** argv) {
            {120, ctl(0, 0, 1)},   // hold pitch back: cancels the flip pitch
            {250, ctl()}}}});
     add({"auto_flip", 200, 1,
-         // on its roof: auto-flip on jump (Car.cpp:763-797)
-         soloSetup(carAt({500, 500, 40}, 0, 0, (float)M_PI)),
-         {{{40, ctl()}, {120, ctl(0, 0, 0, 0, 0, true)}, {200, ctl()}}}});
+         // on its roof: auto-flip on jump (Car.cpp:763-797). Roll 3.1
+         // (not pi): a flat roof-rest settles to roll = +-pi with the
+         // sign set by contact-solver noise, and the auto-flip DIRECTION
+         // is sign(roll) — a knife edge no two engines resolve
+         // identically. Jump is pressed at first contact instead, while
+         // roll is still unambiguously positive (> ROLL_THRESH 2.8).
+         soloSetup(carAt({500, 500, 40}, 0, 0, 3.1f)),
+         {{{3, ctl()}, {80, ctl(0, 0, 0, 0, 0, true)}, {200, ctl()}}}});
 
     // --- boost / air control ---
     add({"boost_ground", 300, 1,
