@@ -113,6 +113,14 @@ TOL = {
     "pad_pickup_small_row": dict(pos=1.0, vel=1.0, rot=0.2),
 }
 
+# Non-Octane CarConfig presets (steer sweep + sideways flip per preset,
+# recorder.cpp): all track the reference exactly — validates the per-preset
+# hitbox/wheel/suspension tables and the margin-shrunk effective-box
+# inertia (Merc is the margin-cap edge case: min half extent > 0.4 m).
+for _p in ("dominus", "plank", "breakout", "hybrid", "merc"):
+    TOL[f"cfg_{_p}_steer"] = dict(pos=1.0, vel=1.0, rot=0.2)
+    TOL[f"cfg_{_p}_flip"] = dict(pos=1.0, vel=1.5, rot=0.3)
+
 
 def _all_scenarios():
     return sorted(fn[:-4] for fn in os.listdir(GOLDEN_DIR)

@@ -405,16 +405,48 @@ int main(int argc, char** argv) {
          },
          {{{260, ctl(1)}}}});
 
+    // --- non-Octane car presets (CarConfig.cpp tables): steer sweep +
+    // jump/flip per preset. Validates hitbox/wheel/suspension tables and
+    // the margin-shrunk effective-box inertia across every preset —
+    // Merc's min half extent exceeds bullet's 0.04 m margin cap, the
+    // other four shrink (sim/car_config.py:bullet_effective_half_extents).
+    for (const char* preset :
+         {"dominus", "plank", "breakout", "hybrid", "merc"}) {
+        std::string p(preset);
+        add({"cfg_" + p + "_steer", 300, 1,
+             // spawn above ride height; settles in the first ~20 ticks
+             soloSetup(carAt({-1500, -1500, 25}, 0)),
+             {{{30, ctl()},
+               {140, ctl(1, 1)},
+               {200, ctl(1, 1, 0, 0, 0, false, false, true)},
+               {260, ctl(1, -1, 0, 0, 0, false, true)},
+               {300, ctl(-1)}}}});
+        add({"cfg_" + p + "_flip", 220, 1,
+             soloSetup(carAt({500, -1000, 25}, 0)),
+             {{{30, ctl(1)},
+               {38, ctl(1, 0, 0, 0, 0, true)},
+               {52, ctl(1)},
+               {60, ctl(0, 0, 0, 1, 0, true)},   // sideways flip
+               {220, ctl()}}}});
+    }
+
     for (auto& sc : scenarios) {
         GameMode mode = GameMode::SOCCAR;
         if (sc.name.rfind("snowday_", 0) == 0) mode = GameMode::SNOWDAY;
         if (sc.name.rfind("heatseeker_", 0) == 0)
             mode = GameMode::HEATSEEKER;
+        const CarConfig* cfg = &CAR_CONFIG_OCTANE;
+        if (sc.name.rfind("cfg_dominus_", 0) == 0) cfg = &CAR_CONFIG_DOMINUS;
+        if (sc.name.rfind("cfg_plank_", 0) == 0) cfg = &CAR_CONFIG_PLANK;
+        if (sc.name.rfind("cfg_breakout_", 0) == 0)
+            cfg = &CAR_CONFIG_BREAKOUT;
+        if (sc.name.rfind("cfg_hybrid_", 0) == 0) cfg = &CAR_CONFIG_HYBRID;
+        if (sc.name.rfind("cfg_merc_", 0) == 0) cfg = &CAR_CONFIG_MERC;
         Arena* arena = Arena::Create(mode, {}, 120);
         std::vector<Car*> cars;
         for (int i = 0; i < sc.numCars; i++)
             cars.push_back(arena->AddCar(
-                i % 2 == 0 ? Team::BLUE : Team::ORANGE));
+                i % 2 == 0 ? Team::BLUE : Team::ORANGE, *cfg));
         sc.setup(arena, cars);
 
         TraceWriter w(outDir + "/" + sc.name + ".bin",

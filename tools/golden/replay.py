@@ -74,11 +74,25 @@ def mode_for(name):
     return GameMode.SOCCAR
 
 
-def make_arena(num_cars, game_mode=GameMode.SOCCAR):
-    key = (num_cars, game_mode)
+def config_for(name):
+    """cfg_<preset>_* scenarios run non-Octane CarConfig presets
+    (recorder.cpp passes the matching reference preset to AddCar)."""
+    from rlgymppo_cpp_tpu.sim import car_config as cc
+    if name.startswith("cfg_"):
+        preset = name.split("_")[1]
+        return getattr(cc, "CAR_CONFIG_" + preset.upper())
+    return cc.CAR_CONFIG_OCTANE
+
+
+def make_arena(num_cars, game_mode=GameMode.SOCCAR,
+               car_config=None):
+    from rlgymppo_cpp_tpu.sim.car_config import CAR_CONFIG_OCTANE
+    car_config = car_config or CAR_CONFIG_OCTANE
+    key = (num_cars, game_mode, id(car_config))
     if key not in _ARENAS:
         teams = tuple(i % 2 for i in range(num_cars))
-        _ARENAS[key] = Arena(game_mode, teams=teams)
+        _ARENAS[key] = Arena(game_mode, teams=teams,
+                             car_config=car_config)
     return _ARENAS[key]
 
 
@@ -181,7 +195,7 @@ def replay(name):
     """
     tr = load_trace(name)
     R, C = tr["controls"].shape[:2]
-    arena = make_arena(C, mode_for(name))
+    arena = make_arena(C, mode_for(name), config_for(name))
     state = initial_state(arena, tr)
     if mode_for(name) == GameMode.HEATSEEKER:
         # recorder-set hsInfo.yTargetDir per scenario (not in the trace
