@@ -85,10 +85,20 @@ def validate_mesh_hashes(hashes, game_mode_name="soccar"):
     return warnings
 
 
+# .cmf vertex data is stored in BULLET units (meters): the reference
+# feeds the raw floats straight into its BT-unit collision world
+# (CollisionMeshFile.cpp MakeBulletMesh -> btTriangleMesh::findOrAddVertex
+# with no conversion, and Arena adds the shape untransformed). This
+# engine works in UU natively, so verts are scaled at the file boundary.
+BT_TO_UU = 50.0
+
+
 def load_cmf(path):
-    """Parse a .cmf file -> (tris int32 [T, 3], verts float32 [V, 3],
-    hash uint32). Raises on the validation failures the reference fatals
-    on (bad counts, bad indices, truncated data)."""
+    """Parse a .cmf file -> (tris int32 [T, 3], verts float32 [V, 3] in
+    UU, hash uint32). Raises on the validation failures the reference
+    fatals on (bad counts, bad indices, truncated data). The hash is
+    computed on the raw file bytes (BT-unit floats), so official dumps
+    match the reference's whitelist hashes."""
     lib = _load_lib()
     handle = lib.cmf_open(os.fsencode(path))
     if not handle:
@@ -100,15 +110,18 @@ def load_cmf(path):
         verts = np.empty((nv.value, 3), np.float32)
         lib.cmf_fill(handle, tris.ctypes.data, verts.ctypes.data)
         h = lib.cmf_hash(handle)
-        return tris, verts, int(h)
+        return tris, verts * np.float32(BT_TO_UU), int(h)
     finally:
         lib.cmf_close(handle)
 
 
 def save_cmf(path, tris, verts):
-    """Write a .cmf (for tests / tooling; format of ReadFromStream)."""
+    """Write a .cmf from UU-space geometry (format of ReadFromStream;
+    verts stored in BT units like the official dumps)."""
     tris = np.ascontiguousarray(tris, np.int32)
-    verts = np.ascontiguousarray(verts, np.float32)
+    verts = (np.asarray(verts, np.float32)
+             / np.float32(BT_TO_UU)).astype(np.float32)
+    verts = np.ascontiguousarray(verts)
     with open(path, "wb") as f:
         f.write(np.int32(tris.shape[0]).tobytes())
         f.write(np.int32(verts.shape[0]).tobytes())

@@ -113,6 +113,21 @@ TOL = {
     "pad_pickup_small_row": dict(pos=1.0, vel=1.0, rot=0.2),
 }
 
+# Mesh-world scenarios: both engines load the IDENTICAL hand-authored ramp
+# triangle soup (tests/golden/ramp.cmf) — the reference through its
+# btBvhTriangleMeshShape pipeline, this engine through the .cmf -> signed
+# SDF bake (replay._mesh_ramp_geom). The slope approach/climb and the
+# ball's slope bounces track the reference tightly (planar surfaces are
+# exact under trilinear interpolation). The drive comparison stops at the
+# ramp's top edge (t=198): a 90-degree CONVEX edge is rounded by grid
+# interpolation (~cell size), so the launch direction off the lip differs
+# by a few degrees — measured 437 uu/s launch-velocity delta at 12-uu
+# cells, scaling ~linearly with cell size. Documented SDF approximation,
+# same class as the Snowday hull stand-in.
+TOL["mesh_ramp_drive"] = dict(pos=6.0, vel=120.0, rot=5.0, flag_slack=4,
+                              until=198)
+TOL["mesh_ramp_ball"] = dict(bpos=6.0, bvel=8.0, rot=0.3)
+
 # Non-Octane CarConfig presets (steer sweep + sideways flip per preset,
 # recorder.cpp): all track the reference exactly — validates the per-preset
 # hitbox/wheel/suspension tables and the margin-shrunk effective-box

@@ -48,7 +48,8 @@ def test_cmf_roundtrip_and_hash(tmp_path):
     save_cmf(path, tris, verts)
     tris2, verts2, h = load_cmf(path)
     np.testing.assert_array_equal(tris, tris2)
-    np.testing.assert_array_equal(verts, verts2)
+    # verts round-trip through the file's BT units (UU/50 as float32)
+    np.testing.assert_allclose(verts, verts2, rtol=1e-6, atol=1e-4)
     assert h != 0
     # Hash is deterministic
     _, _, h2 = load_cmf(path)

@@ -142,18 +142,55 @@ static const Vec BALL_PARKED = Vec(3500, -3500, 93.15f);
 
 static constexpr float REST_Z = 17.01f;  // octane resting ride height
 
+// Hand-authored ramp prism for --mesh mode: slope rises from z=0 at
+// x=1200 to z=400 at x=2000, extruded y in [-1000, 1000]. Outward
+// winding; the coplanar-with-floor underside is omitted (unreachable,
+// and coincident opposite-normal surfaces would make the SDF sign
+// ambiguous at z=0). The same bytes are written to <outDir>/ramp.cmf and
+// baked into the replay side's SDF world, so both engines collide with
+// the identical triangle soup through their own mesh pipelines.
+static std::vector<char> rampCmfBytes() {
+    struct __attribute__((packed)) {
+        int32_t numTris = 8, numVerts = 6;
+        int32_t tris[8 * 3] = {
+            // slope (v0 v2 v5) (v0 v5 v3): outward ~(-0.447, 0, 0.894)
+            0, 2, 5, 0, 5, 3,
+            // back x=2000 (v1 v4 v5) (v1 v5 v2): outward +x
+            1, 4, 5, 1, 5, 2,
+            // end caps
+            0, 1, 2,            // y=-1000, outward -y
+            3, 5, 4,            // y=+1000, outward +y
+        };
+        // .cmf verts are BULLET units: MakeBulletMesh adds the raw floats
+        // into the BT-unit world (CollisionMeshFile.cpp:64-74). UU / 50.
+        float verts[6 * 3] = {
+            24.f, -20.f, 0.f,         // v0 (1200, -1000, 0) UU
+            40.f, -20.f, 0.f,         // v1 (2000, -1000, 0)
+            40.f, -20.f, 8.f,         // v2 (2000, -1000, 400)
+            24.f, 20.f, 0.f,          // v3 (1200, 1000, 0)
+            40.f, 20.f, 0.f,          // v4 (2000, 1000, 0)
+            40.f, 20.f, 8.f,          // v5 (2000, 1000, 400)
+        };
+    } cmf;
+    std::vector<char> bytes(sizeof(cmf));
+    memcpy(bytes.data(), &cmf, sizeof(cmf));
+    return bytes;
+}
+
 int main(int argc, char** argv) {
     std::string outDir = argc > 1 ? argv[1] : "traces";
+    bool meshMode = argc > 2 && strcmp(argv[2], "--mesh") == 0;
 
     // Minimal valid .cmf: one triangle flush in a far +x/-y ceiling corner.
     {
         struct __attribute__((packed)) {
             int32_t numTris = 1, numVerts = 3;
             int32_t tri[3] = {0, 1, 2};
+            // BT units (UU / 50): flush in the far +x/-y ceiling corner
             float verts[9] = {
-                4090.f, -5115.f, 2043.f,
-                4095.f, -5115.f, 2043.f,
-                4095.f, -5110.f, 2043.f,
+                81.8f, -102.3f, 40.86f,
+                81.9f, -102.3f, 40.86f,
+                81.9f, -102.2f, 40.86f,
             };
         } cmf;
         std::vector<char> bytes(sizeof(cmf));
@@ -161,6 +198,14 @@ int main(int argc, char** argv) {
         std::map<GameMode, std::vector<FileData>> files;
         files[GameMode::SOCCAR].push_back(
             FileData(bytes.begin(), bytes.end()));
+        if (meshMode) {
+            auto ramp = rampCmfBytes();
+            files[GameMode::SOCCAR].push_back(
+                FileData(ramp.begin(), ramp.end()));
+            FILE* rf = fopen((outDir + "/ramp.cmf").c_str(), "wb");
+            fwrite(ramp.data(), 1, ramp.size(), rf);
+            fclose(rf);
+        }
         RocketSim::InitFromMem(files, true);
     }
 
@@ -428,6 +473,25 @@ int main(int argc, char** argv) {
                {52, ctl(1)},
                {60, ctl(0, 0, 0, 1, 0, true)},   // sideways flip
                {220, ctl()}}}});
+    }
+
+    if (meshMode) {
+        // --mesh: ONLY the ramp scenarios (the ramp is in the SOCCAR world
+        // for this process, so the plane-world scenario set above would
+        // record different trajectories wherever it crosses the ramp).
+        scenarios.clear();
+        add({"mesh_ramp_drive", 300, 1,
+             // y=400 stays between boost-pad columns; boosts up the
+             // slope, launches off the 400-uu top edge, lands on floor
+             soloSetup(carAt({200, 400, REST_Z}, 0)),
+             {{{260, ctl(1, 0, 0, 0, 0, false, true)}, {300, ctl()}}}});
+        add({"mesh_ramp_ball", 300, 1,
+             // ball arcs onto the mid-slope and bounces up-back
+             [](Arena* a, std::vector<Car*>& cars) {
+                 cars[0]->SetState(carAt({-2000, -2000, REST_Z}, 0));
+                 a->ball->SetState(ballAt({600, 300, 200}, {900, 0, 100}));
+             },
+             {{{300, ctl()}}}});
     }
 
     for (auto& sc : scenarios) {

@@ -84,15 +84,73 @@ def config_for(name):
     return cc.CAR_CONFIG_OCTANE
 
 
+def _mesh_ramp_geom():
+    """SDF world for the mesh_* scenarios: the reference's meshless-arena
+    planes (floor + x side walls; no back walls/corners/goals,
+    Arena.cpp:1060-1105) plus the IDENTICAL hand-authored ramp triangle
+    soup both engines load (tests/golden/ramp.cmf, recorder.cpp
+    rampCmfBytes) — through this engine's real .cmf -> SDF pipeline.
+    Grid bounds cover only the scenarios' reachable region for accuracy;
+    the ceiling (z 2044) is above the grid and unreachable."""
+    import numpy as np
+    from rlgymppo_cpp_tpu.sim.mesh_geom import MeshGeom
+    from rlgymppo_cpp_tpu.sim.mesh_loader import load_cmf, bake_sdf
+
+    cache = "/tmp/rlgymppo_golden_ramp_sdf_v2.npz"
+    if os.path.exists(cache):
+        with np.load(cache) as z:
+            return MeshGeom(z["dist"], z["dirs"], z["bounds_min"],
+                            z["cell"])
+
+    ramp_tris, ramp_verts, _h = load_cmf(
+        os.path.join(GOLDEN_DIR, "ramp.cmf"))
+    ex = 4096.0
+    quads = [
+        # floor spanning the grid; +z up
+        [(-2400, -3800, 0), (4400, -3800, 0), (4400, 1900, 0),
+         (-2400, 1900, 0)],
+        # side walls x = +-4096 (inward normals)
+        [(ex, -3800, 0), (ex, 1900, 0), (ex, 1900, 1200),
+         (ex, -3800, 1200)],
+        [(-ex, -3800, 0), (-ex, 1900, 0), (-ex, 1900, 1200),
+         (-ex, -3800, 1200)],
+    ]
+    refs = [(0, 0, 500), (0, 0, 500), (0, 0, 500)]
+    verts, tris = list(ramp_verts), [tuple(t) for t in ramp_tris]
+    for quad, ref in zip(quads, refs):
+        i = len(verts)
+        a, b, c = (np.asarray(quad[0], np.float64),
+                   np.asarray(quad[1], np.float64),
+                   np.asarray(quad[2], np.float64))
+        n = np.cross(b - a, c - a)
+        centroid = (a + b + c) / 3.0
+        verts += [np.asarray(q, np.float32) for q in quad]
+        if np.dot(n, np.asarray(ref, np.float64) - centroid) >= 0:
+            tris += [(i, i + 1, i + 2), (i, i + 2, i + 3)]
+        else:
+            tris += [(i, i + 2, i + 1), (i, i + 3, i + 2)]
+    tris = np.asarray(tris, np.int32)
+    verts = np.asarray(verts, np.float32)
+
+    bounds_min = (-2300.0, -3700.0, -64.0)
+    bounds_max = (4300.0, 1800.0, 1100.0)
+    dist, dirs, bmin, cell = bake_sdf(
+        tris, verts, bounds_min, bounds_max, dims=(256, 160, 96))
+    np.savez_compressed(cache, dist=dist, dirs=dirs, bounds_min=bmin,
+                        cell=cell)
+    return MeshGeom(dist, dirs, bmin, cell)
+
+
 def make_arena(num_cars, game_mode=GameMode.SOCCAR,
-               car_config=None):
+               car_config=None, mesh=False):
     from rlgymppo_cpp_tpu.sim.car_config import CAR_CONFIG_OCTANE
     car_config = car_config or CAR_CONFIG_OCTANE
-    key = (num_cars, game_mode, id(car_config))
+    key = (num_cars, game_mode, id(car_config), mesh)
     if key not in _ARENAS:
         teams = tuple(i % 2 for i in range(num_cars))
+        geom = _mesh_ramp_geom() if mesh else None
         _ARENAS[key] = Arena(game_mode, teams=teams,
-                             car_config=car_config)
+                             car_config=car_config, geom=geom)
     return _ARENAS[key]
 
 
@@ -195,7 +253,8 @@ def replay(name):
     """
     tr = load_trace(name)
     R, C = tr["controls"].shape[:2]
-    arena = make_arena(C, mode_for(name), config_for(name))
+    arena = make_arena(C, mode_for(name), config_for(name),
+                       mesh=name.startswith("mesh_"))
     state = initial_state(arena, tr)
     if mode_for(name) == GameMode.HEATSEEKER:
         # recorder-set hsInfo.yTargetDir per scenario (not in the trace
