@@ -111,6 +111,19 @@ TOL = {
                              bvel=2400.0, until=40),
     "pad_pickup_big": dict(pos=1.0, vel=1.0, rot=0.2),
     "pad_pickup_small_row": dict(pos=1.0, vel=1.0, rot=0.2),
+
+    # hoops mode (meshless reference arena: 6 planes, no rim meshes;
+    # scenarios stay clear of the goal regions)
+    "hoops_ball_bounce": dict(pos=1.0, vel=1.0, rot=0.2, bpos=4.0,
+                              bvel=6.0),
+    # exact through the (2432, 0) big-pad pickup; comparison stops before
+    # the deliberate 2000 uu/s nose-first crash into the +x wall (the
+    # chaotic contact-event class already bounded by car_bump et al.)
+    "hoops_pad_pickup": dict(pos=1.0, vel=1.0, rot=0.2, until=132),
+    # 20-gon hull vs analytic cylinder: the spinning puck's wall bounce
+    # direction drifts (same class as snowday_puck_spin_bounce); bounds
+    # catch gross errors (sticking, wrong side, wrong order of magnitude)
+    "snowday_puck_wall": dict(bpos=140.0, bvel=1100.0),
 }
 
 # Mesh-world scenarios: both engines load the IDENTICAL hand-authored ramp

@@ -198,6 +198,22 @@ int main(int argc, char** argv) {
         std::map<GameMode, std::vector<FileData>> files;
         files[GameMode::SOCCAR].push_back(
             FileData(bytes.begin(), bytes.end()));
+        // Hoops needs >= 1 mesh (Arena.cpp:1021-1026 fatals otherwise);
+        // same trick: one triangle flush in a far hoops ceiling corner
+        // (BT units), outside every scenario's reachable space.
+        struct __attribute__((packed)) {
+            int32_t numTris = 1, numVerts = 3;
+            int32_t tri[3] = {0, 1, 2};
+            float verts[9] = {
+                59.1f, -71.5f, 36.39f,
+                59.2f, -71.5f, 36.39f,
+                59.2f, -71.4f, 36.39f,
+            };
+        } hoopsCmf;
+        std::vector<char> hoopsBytes(sizeof(hoopsCmf));
+        memcpy(hoopsBytes.data(), &hoopsCmf, sizeof(hoopsCmf));
+        files[GameMode::HOOPS].push_back(
+            FileData(hoopsBytes.begin(), hoopsBytes.end()));
         if (meshMode) {
             auto ramp = rampCmfBytes();
             files[GameMode::SOCCAR].push_back(
@@ -450,6 +466,31 @@ int main(int argc, char** argv) {
          },
          {{{260, ctl(1)}}}});
 
+    // --- hoops mode (meshless: 6 planes incl. y walls, Arena.cpp:1030,
+    // 1103-1120; the rim/net meshes are absent, so scenarios stay away
+    // from the goal regions) + snowday puck vs side wall ---
+    add({"hoops_ball_bounce", 240, 1,
+         // hoops ball radius/gravity mutator parity + y-wall bounce
+         [](Arena* a, std::vector<Car*>& cars) {
+             cars[0]->SetState(carAt({-2000, -2000, REST_Z}, 0));
+             a->ball->SetState(ballAt({0, 800, 700}, {300, 900, 50}));
+         },
+         {{{240, ctl()}}}});
+    add({"hoops_pad_pickup", 200, 1,
+         // drives through the (2432, 0) big pad (LOCS_BIG_HOOPS) into the
+         // +x wall (ARENA_EXTENT_X_HOOPS = 2966.67)
+         soloSetup(carAt({1200, 0, REST_Z}, 0, 0, 0, {800, 0, 0}, {0, 0, 0},
+                         40.0f)),
+         {{{200, ctl(1, 0, 0, 0, 0, false, true)}}}});
+    add({"snowday_puck_wall", 300, 1,
+         // puck slides/spins into the -x side wall: cylinder-wall contact
+         [](Arena* a, std::vector<Car*>& cars) {
+             cars[0]->SetState(carAt({2000, 2000, REST_Z}, 0));
+             a->ball->SetState(ballAt({-3300, 500, 100},
+                                      {-900, 300, 50}, {0, 2, 6}));
+         },
+         {{{300, ctl()}}}});
+
     // --- non-Octane car presets (CarConfig.cpp tables): steer sweep +
     // jump/flip per preset. Validates hitbox/wheel/suspension tables and
     // the margin-shrunk effective-box inertia across every preset —
@@ -499,6 +540,7 @@ int main(int argc, char** argv) {
         if (sc.name.rfind("snowday_", 0) == 0) mode = GameMode::SNOWDAY;
         if (sc.name.rfind("heatseeker_", 0) == 0)
             mode = GameMode::HEATSEEKER;
+        if (sc.name.rfind("hoops_", 0) == 0) mode = GameMode::HOOPS;
         const CarConfig* cfg = &CAR_CONFIG_OCTANE;
         if (sc.name.rfind("cfg_dominus_", 0) == 0) cfg = &CAR_CONFIG_DOMINUS;
         if (sc.name.rfind("cfg_plank_", 0) == 0) cfg = &CAR_CONFIG_PLANK;

@@ -71,6 +71,8 @@ def mode_for(name):
         return GameMode.SNOWDAY
     if name.startswith("heatseeker_"):
         return GameMode.HEATSEEKER
+    if name.startswith("hoops_"):
+        return GameMode.HOOPS
     return GameMode.SOCCAR
 
 
