@@ -252,145 +252,6 @@ def _vswap(v: V3) -> V3:
               jnp.swapaxes(v.z, 0, 1))
 
 
-# Experimental: solve SAT (face-face) car-car contacts as a bullet-style
-# clipped-incident-face manifold with projected Gauss-Seidel (accumulated
-# impulses, negative deltas allowed, totals clamped >= 0) instead of the
-# calibrated single-point linear-only impulse. A single sequential pass
-# over manifold points is WORSE than linear-only (the first corner takes
-# the full stop impulse with its torque; golden car_bump 16 -> 168 uu),
-# so any multi-point path must be a real PGS. Off by default pending
-# golden-trace validation.
-import os as _os
-CARCAR_PGS = _os.environ.get("RLGT_CARCAR_PGS", "0") == "1"
-PGS_ITERS = 4
-
-
-def _sat_manifold_pgs(cars, sat_from_i, sat_normal, half, offset, ii_diag,
-                      inv_mass, vel_i, ang_i, vel_j, ang_j, ii_i, ii_j,
-                      use_sat):
-    """PGS over the clipped incident-face corners of the SAT contact.
-    Returns pair deltas (dvel_i, dang_i, dvel_j, dang_j), [Pi, Pj, N]."""
-    zero = V3.of(0.0, 0.0, 0.0)
-    pos_i = cars.pos.expand(1)
-    pos_j = cars.pos.expand(0)
-    rot_i = cars.rot.expand(1)
-    rot_j = cars.rot.expand(0)
-    offset_v = V3.of(*offset)
-
-    def m3where(c, a, b):
-        from rlgymppo_cpp_tpu.maths.v3 import M3
-        return M3(vwhere(c, a.f, b.f), vwhere(c, a.r, b.r),
-                  vwhere(c, a.u, b.u))
-
-    rot_ref = m3where(sat_from_i, rot_i, rot_j)
-    rot_inc = m3where(sat_from_i, rot_j, rot_i)
-    carpos_ref = vwhere(sat_from_i, pos_i, pos_j)
-    carpos_inc = vwhere(sat_from_i, pos_j, pos_i)
-    n_out = vwhere(sat_from_i, sat_normal, sat_normal * -1.0)
-
-    h = rot_ref.tmv(n_out)                     # exactly a +-unit axis
-    a_hot = V3((jnp.abs(h.x) > 0.5).astype(jnp.float32),
-               (jnp.abs(h.y) > 0.5).astype(jnp.float32),
-               (jnp.abs(h.z) > 0.5).astype(jnp.float32))
-    half_axis = half[0] * a_hot.x + half[1] * a_hot.y + half[2] * a_hot.z
-
-    g = rot_inc.tmv(n_out)
-    gx, gy, gz = jnp.abs(g.x), jnp.abs(g.y), jnp.abs(g.z)
-    m_is_x = (gx >= gy) & (gx >= gz)
-    m_is_y = ~m_is_x & (gy >= gz)
-    m_hot = V3(m_is_x.astype(jnp.float32), m_is_y.astype(jnp.float32),
-               (~m_is_x & ~m_is_y).astype(jnp.float32))
-    inc_face_sign = -jnp.sign(g.x * m_hot.x + g.y * m_hot.y
-                              + g.z * m_hot.z)
-
-    # manifold points: incident-face corners clamped into the ref face
-    pts = []
-    for sx, sy, sz in _SIGNS:
-        s_m = sx * m_hot.x + sy * m_hot.y + sz * m_hot.z
-        on_face = s_m * inc_face_sign > 0.0
-        l_inc = V3.of(sx * half[0] + offset[0],
-                      sy * half[1] + offset[1],
-                      sz * half[2] + offset[2])
-        w_k = carpos_inc + rot_inc.mv(l_inc)
-        c_k = rot_ref.tmv(w_k - carpos_ref) - offset_v
-        depth_k = half_axis - c_k.dot(h)
-        valid = on_face & (depth_k > 0.0) & use_sat
-        cl = V3(jnp.clip(c_k.x, -half[0], half[0]),
-                jnp.clip(c_k.y, -half[1], half[1]),
-                jnp.clip(c_k.z, -half[2], half[2]))
-        p_local = V3(cl.x * (1 - a_hot.x) + c_k.x * a_hot.x,
-                     cl.y * (1 - a_hot.y) + c_k.y * a_hot.y,
-                     cl.z * (1 - a_hot.z) + c_k.z * a_hot.z)
-        pt_k = carpos_ref + rot_ref.mv(p_local + offset_v)
-        pts.append((pt_k - pos_i, pt_k - pos_j, valid))
-
-    n = sat_normal                              # points i -> j
-    mu = C.CARCAR_COLLISION_FRICTION
-    rest = C.CARCAR_COLLISION_RESTITUTION
-
-    # per-point constants from the INITIAL velocities: restitution target
-    # and a fixed friction tangent (bullet solver setup analog)
-    setup = []
-    for rel_i_k, rel_j_k, valid in pts:
-        v_rel0 = rb.velocity_at_point(vel_j, ang_j, rel_j_k) \
-            - rb.velocity_at_point(vel_i, ang_i, rel_i_k)
-        vn0 = v_rel0.dot(n)
-        bounce = jnp.where(-vn0 > rb.RESTITUTION_VELOCITY_THRESHOLD,
-                           rest * -vn0, 0.0)
-        vt0 = v_rel0 - n * vn0
-        vt_len = jnp.sqrt(jnp.maximum(vt0.norm_sq(), 1e-12))
-        t_dir = vt0 / vt_len
-        denom_n = (rb.impulse_denominator(inv_mass, ii_j, rel_j_k, n)
-                   + rb.impulse_denominator(inv_mass, ii_i, rel_i_k, n))
-        denom_t = (rb.impulse_denominator(inv_mass, ii_j, rel_j_k, t_dir)
-                   + rb.impulse_denominator(inv_mass, ii_i, rel_i_k,
-                                            t_dir))
-        setup.append((bounce, t_dir, denom_n, denom_t))
-
-    run_vi, run_ai = vel_i + zero, ang_i + zero
-    run_vj, run_aj = vel_j + zero, ang_j + zero
-    acc_n = [jnp.zeros(p[2].shape) for p in pts]
-    acc_t = [jnp.zeros(p[2].shape) for p in pts]
-
-    def apply(run_vj, run_aj, run_vi, run_ai, imp, rel_j_k, rel_i_k,
-              valid):
-        run_vj = run_vj + vwhere(valid, imp * inv_mass, zero)
-        run_aj = run_aj + vwhere(valid, ii_j(rel_j_k.cross(imp)), zero)
-        run_vi = run_vi - vwhere(valid, imp * inv_mass, zero)
-        run_ai = run_ai - vwhere(valid, ii_i(rel_i_k.cross(imp)), zero)
-        return run_vj, run_aj, run_vi, run_ai
-
-    for _it in range(PGS_ITERS):
-        for k, ((rel_i_k, rel_j_k, valid),
-                (bounce, t_dir, denom_n, denom_t)) in enumerate(
-                    zip(pts, setup)):
-            v_rel = rb.velocity_at_point(run_vj, run_aj, rel_j_k) \
-                - rb.velocity_at_point(run_vi, run_ai, rel_i_k)
-            vn = v_rel.dot(n)
-            dj = (-vn + bounce) / denom_n
-            acc_new = jnp.maximum(acc_n[k] + dj, 0.0)
-            dj = acc_new - acc_n[k]
-            acc_n[k] = jnp.where(valid, acc_new, acc_n[k])
-            run_vj, run_aj, run_vi, run_ai = apply(
-                run_vj, run_aj, run_vi, run_ai, n * dj, rel_j_k, rel_i_k,
-                valid)
-
-            v_rel = rb.velocity_at_point(run_vj, run_aj, rel_j_k) \
-                - rb.velocity_at_point(run_vi, run_ai, rel_i_k)
-            vt = v_rel.dot(t_dir)
-            djt = -vt / denom_t
-            lim = mu * acc_n[k]
-            acc_t_new = jnp.clip(acc_t[k] + djt, -lim, lim)
-            djt = acc_t_new - acc_t[k]
-            acc_t[k] = jnp.where(valid, acc_t_new, acc_t[k])
-            run_vj, run_aj, run_vi, run_ai = apply(
-                run_vj, run_aj, run_vi, run_ai, t_dir * djt, rel_j_k,
-                rel_i_k, valid)
-
-    return (run_vi - vel_i, run_ai - ang_i,
-            run_vj - vel_j, run_aj - ang_j)
-
-
 def car_car_contacts(cars, mut, ii_diag, half_extents, offset, dt, active,
                      teams):
     """Pairwise car-car contacts + bump/demo rules (Arena.cpp:336-418).
@@ -463,8 +324,7 @@ def car_car_contacts(cars, mut, ii_diag, half_extents, offset, dt, active,
 
     sat_pen = jnp.full(pair_shape, jnp.inf)
     sat_normal = V3.zeros(pair_shape)
-    sat_from_i = jnp.zeros(pair_shape, bool)
-    for from_i, axes_rot in ((True, rot_i), (False, rot_j_sat)):
+    for axes_rot in (rot_i, rot_j_sat):
         for a in (axes_rot.f, axes_rot.r, axes_rot.u):
             ri = (half[0] * jnp.abs(a.dot(rot_i.f))
                   + half[1] * jnp.abs(a.dot(rot_i.r))
@@ -478,7 +338,6 @@ def car_car_contacts(cars, mut, ii_diag, half_extents, offset, dt, active,
             sat_pen = jnp.where(better, overlap, sat_pen)
             signed = a * jnp.where(dist >= 0, 1.0, -1.0)
             sat_normal = vwhere(better, signed, sat_normal)
-            sat_from_i = jnp.where(better, from_i, sat_from_i)
 
     # contact point: j's center clamped into i's box (world frame)
     local_cj = rot_i.tmv(d_ij)
@@ -539,15 +398,16 @@ def car_car_contacts(cars, mut, ii_diag, half_extents, offset, dt, active,
     dvel_i_ = vwhere(use_sat, dvel_i_lin, dvel_i_)
     dang_j_ = vwhere(use_sat, ii_zero(dang_j_), dang_j_)
     dang_i_ = vwhere(use_sat, ii_zero(dang_i_), dang_i_)
-
-    if CARCAR_PGS:
-        pgs = _sat_manifold_pgs(
-            cars, sat_from_i, sat_normal, half, offset, ii_diag, inv_mass,
-            vel_i, ang_i, vel_j, ang_j, ii_i, ii_j, use_sat)
-        dvel_i_ = vwhere(use_sat, pgs[0], dvel_i_)
-        dang_i_ = vwhere(use_sat, pgs[1], dang_i_)
-        dvel_j_ = vwhere(use_sat, pgs[2], dvel_j_)
-        dang_j_ = vwhere(use_sat, pgs[3], dang_j_)
+    # Alternatives measured against the golden car_bump/car_demo traces
+    # and rejected: (a) a clipped-incident-face manifold with ONE
+    # sequential-impulse pass (the first corner takes the full stop
+    # impulse with its torque -> spurious spin, car_bump 16 -> 168 uu);
+    # (b) the same manifold solved properly with projected Gauss-Seidel
+    # (accumulated clamped impulses, 4 iterations) converges to within
+    # 1 uu of THIS linear-only model on car_bump and is slightly worse
+    # on car_demo -- the multi-point face manifold is translation-
+    # dominant, which is exactly what linear-only encodes, at 1/50th
+    # the arithmetic.
 
     triu = jnp.triu(jnp.ones((P, P), dtype=bool), 1)[..., None]
     resolve = contact_ij & triu
