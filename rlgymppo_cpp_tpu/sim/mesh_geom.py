@@ -12,12 +12,38 @@ callers), so `Arena(geom=...)`-style swapping needs no caller changes.
 Raycasts sphere-trace the grid with a fixed iteration count (branchless,
 scan-friendly), mirroring how most suspension rays short-circuit to cheap
 analytic queries in the reference (SuspensionCollisionGrid.cpp:124-183).
+
+Ball-only surfaces (the hoops net): RocketSim detects the 505-vertex net
+mesh and adds it with collision group/mask CollisionMasks::HOOPS_NET so
+only the ball collides with it (Arena.cpp:1041-1055, Arena.h:164,
+Ball.cpp:109, CollisionMasks.h:8-11). Here that is a SECOND distance grid
+(`net_dist`/`net_dirs`, same bounds/cell as the main grid): queries with
+`for_car=True` read only the main grid; ball queries take the closer of
+the two fields.
 """
 
 import numpy as np
 import jax.numpy as jnp
 
 INF = 1e30
+
+
+def _corner_pack(dist):
+    """Cell (i,j,k) holds its 8 corner distances contiguously, so one
+    trilinear sample is ONE 8-wide row gather instead of 8 scattered
+    gathers — TPU gathers are row-oriented, making this ~8x cheaper.
+    (+8x memory: ~35 MB at soccar resolution, irrelevant next to HBM.)"""
+    d = np.asarray(dist, np.float32)
+    X, Y, Z = d.shape
+    packed = np.empty((X - 1, Y - 1, Z - 1, 8), np.float32)
+    c = 0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                packed[..., c] = d[dx:X - 1 + dx, dy:Y - 1 + dy,
+                                   dz:Z - 1 + dz]
+                c += 1
+    return jnp.asarray(packed.reshape(-1, 8))
 
 
 class MeshGeom:
@@ -29,7 +55,8 @@ class MeshGeom:
     # (gathers are the mesh world's whole cost on TPU).
     RAY_STEPS = 6
 
-    def __init__(self, dist, dirs, bounds_min, cell):
+    def __init__(self, dist, dirs, bounds_min, cell,
+                 net_dist=None, net_dirs=None):
         self.dist = jnp.asarray(dist, jnp.float32)          # [X, Y, Z]
         self.dirs = jnp.asarray(dirs, jnp.float32)          # [X, Y, Z, 3]
         self.bounds_min = jnp.asarray(bounds_min, jnp.float32)
@@ -37,23 +64,19 @@ class MeshGeom:
         self.dims = self.dist.shape
         self.band = float(np.abs(np.asarray(dist)).max())
 
-        # Corner-packed mirror of the grid: cell (i,j,k) holds its 8
-        # corner distances contiguously, so one trilinear sample is ONE
-        # 8-wide row gather instead of 8 scattered gathers — TPU gathers
-        # are row-oriented, making this ~8x cheaper. (+8x memory: ~35 MB
-        # at soccar resolution, irrelevant next to HBM.)
-        d = np.asarray(dist, np.float32)
-        X, Y, Z = d.shape
-        packed = np.empty((X - 1, Y - 1, Z - 1, 8), np.float32)
-        c = 0
-        for dx in (0, 1):
-            for dy in (0, 1):
-                for dz in (0, 1):
-                    packed[..., c] = d[dx:X - 1 + dx, dy:Y - 1 + dy,
-                                       dz:Z - 1 + dz]
-                    c += 1
-        self._packed = jnp.asarray(packed.reshape(-1, 8))
+        self._packed = _corner_pack(dist)
+        X, Y, Z = self.dims
         self._cdims = (X - 1, Y - 1, Z - 1)
+
+        # Optional ball-only field (hoops net). Same bounds/dims/cell as
+        # the main grid so one index computation serves both gathers.
+        self.has_net = net_dist is not None
+        if self.has_net:
+            assert tuple(np.shape(net_dist)) == tuple(self.dims), \
+                "net grid must share the main grid's dims/bounds"
+            self.net_dist = jnp.asarray(net_dist, jnp.float32)
+            self.net_dirs = jnp.asarray(net_dirs, jnp.float32)
+            self._net_packed = _corner_pack(net_dist)
 
     @classmethod
     def from_cmf(cls, paths, bounds_min, bounds_max, dims=(128, 160, 64),
@@ -61,28 +84,44 @@ class MeshGeom:
         """Bake one grid from one or more .cmf files (a game mode's arena
         is split across several meshes, RocketSim.cpp:118-148). Mesh
         hashes are checked against the official whitelist with warnings
-        for unknown/duplicate meshes (:149-163)."""
+        for unknown/duplicate meshes (:149-163). In hoops, a mesh with
+        exactly 505 vertices is the net (Arena.cpp:1041-1055) and is
+        baked into the ball-only field."""
         from rlgymppo_cpp_tpu.sim.mesh_loader import (
             load_cmf, bake_sdf, validate_mesh_hashes,
         )
-        all_tris, all_verts, hashes = [], [], []
-        off = 0
+        HOOPS_NET_NUM_VERTS = 505
+        is_hoops = game_mode_name == "hoops"
+        world, net, hashes = [], [], []
         for p in paths:
             tris, verts, h = load_cmf(p)
             hashes.append(h)
-            all_tris.append(tris + off)
-            all_verts.append(verts)
-            off += verts.shape[0]
+            dest = net if (is_hoops and
+                           verts.shape[0] == HOOPS_NET_NUM_VERTS) else world
+            dest.append((tris, verts))
         validate_mesh_hashes(hashes, game_mode_name)
-        tris = np.concatenate(all_tris)
-        verts = np.concatenate(all_verts)
+
+        def merge(meshes):
+            tris, verts, off = [], [], 0
+            for t, v in meshes:
+                tris.append(t + off)
+                verts.append(v)
+                off += v.shape[0]
+            return np.concatenate(tris), np.concatenate(verts)
+
+        tris, verts = merge(world)
         dist, dirs, bmin, cell = bake_sdf(
             tris, verts, bounds_min, bounds_max, dims, band)
-        return cls(dist, dirs, bmin, cell)
+        net_dist = net_dirs = None
+        if net:
+            ntris, nverts = merge(net)
+            net_dist, net_dirs, _, _ = bake_sdf(
+                ntris, nverts, bounds_min, bounds_max, dims, band)
+        return cls(dist, dirs, bmin, cell, net_dist, net_dirs)
 
     # ------------------------------------------------------------- sampling
 
-    def _sample(self, pos):
+    def _sample(self, pos, for_car=False):
         """Trilinear distance + nearest-cell direction at pos [..., 3].
         Out-of-grid positions clamp to the border (distances there are
         `band`, i.e. no contact)."""
@@ -92,7 +131,7 @@ class MeshGeom:
         i0 = jnp.floor(f).astype(jnp.int32)
         t = f - i0
 
-        # one 8-wide row gather per sample (see __init__._packed)
+        # one 8-wide row gather per sample (see _corner_pack)
         cx, cy, cz = self._cdims
         flat_idx = (i0[..., 0] * cy + i0[..., 1]) * cz + i0[..., 2]
         corners = jnp.take(self._packed, flat_idx, axis=0)   # [..., 8]
@@ -109,6 +148,15 @@ class MeshGeom:
         # contact normal; re-normalized with an epsilon guard)
         ni = jnp.round(f).astype(jnp.int32)
         n = self.dirs[ni[..., 0], ni[..., 1], ni[..., 2]]
+
+        if self.has_net and not for_car:
+            nd = jnp.sum(jnp.take(self._net_packed, flat_idx, axis=0) * w,
+                         axis=-1)
+            nn = self.net_dirs[ni[..., 0], ni[..., 1], ni[..., 2]]
+            closer = nd < d
+            d = jnp.where(closer, nd, d)
+            n = jnp.where(closer[..., None], nn, n)
+
         norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
         n = jnp.where(norm > 1e-6, n / jnp.maximum(norm, 1e-6),
                       jnp.asarray([0.0, 0.0, 1.0]))
@@ -118,26 +166,26 @@ class MeshGeom:
 
     def sphere_contact(self, pos, radius, for_car=False):
         """(depth, normal): depth > 0 means the sphere penetrates."""
-        d, n = self._sample(pos)
+        d, n = self._sample(pos, for_car)
         return radius - d, n
 
-    def signed_distances(self, pos):
+    def signed_distances(self, pos, for_car=False):
         """[..., 1] distance (band = no contact), for API parity."""
-        d, _ = self._sample(pos)
+        d, _ = self._sample(pos, for_car)
         return d[..., None]
 
     # --------------------------------------------- env-last core queries
     # (component V3 API matching ArenaGeom.sphere_contact_core /
     # raycast_core, so MeshGeom can back the physics core directly)
 
-    def _sample_core(self, pos):
+    def _sample_core(self, pos, for_car=False):
         from rlgymppo_cpp_tpu.maths.v3 import V3
         p = jnp.stack([pos.x, pos.y, pos.z], axis=-1)
-        d, n = self._sample(p)
+        d, n = self._sample(p, for_car)
         return d, V3(n[..., 0], n[..., 1], n[..., 2])
 
     def sphere_contact_core(self, pos, radius, for_car=False):
-        d, n = self._sample_core(pos)
+        d, n = self._sample_core(pos, for_car)
         return radius - d, n
 
     def raycast_core(self, start, direction, max_len, for_car=False):
@@ -146,11 +194,11 @@ class MeshGeom:
         for _ in range(self.RAY_STEPS):
             p = V3(start.x + direction.x * t, start.y + direction.y * t,
                    start.z + direction.z * t)
-            d, _ = self._sample_core(p)
+            d, _ = self._sample_core(p, for_car)
             t = jnp.minimum(t + jnp.maximum(d, 0.0), max_len)
         p = V3(start.x + direction.x * t, start.y + direction.y * t,
                start.z + direction.z * t)
-        d, n = self._sample_core(p)
+        d, n = self._sample_core(p, for_car)
         hit = (d < 6.0) & (t < max_len)
         return hit, jnp.where(hit, t, max_len), n
 
@@ -162,9 +210,9 @@ class MeshGeom:
         t = jnp.zeros(start.shape[:-1], jnp.float32)
         for _ in range(self.RAY_STEPS):
             p = start + direction * t[..., None]
-            d, _ = self._sample(p)
+            d, _ = self._sample(p, for_car)
             t = jnp.minimum(t + jnp.maximum(d, 0.0), max_len)
         p = start + direction * t[..., None]
-        d, n = self._sample(p)
+        d, n = self._sample(p, for_car)
         hit = (d < 6.0) & (t < max_len)
         return hit, jnp.where(hit, t, max_len), n

@@ -141,6 +141,26 @@ TOL["mesh_ramp_drive"] = dict(pos=6.0, vel=120.0, rot=5.0, flag_slack=4,
                               until=198)
 TOL["mesh_ramp_ball"] = dict(bpos=6.0, bvel=8.0, rot=0.3)
 
+# Hoops basket: both engines load the IDENTICAL authored rim + net meshes
+# (tests/golden/hoops_{rim,net}.cmf; recorder.cpp annularShellCmf). The
+# 505-vertex net is ball-only in BOTH engines — RocketSim detects the
+# vertex count and masks car collision (Arena.cpp:1041-1055, Arena.h:164);
+# this engine bakes it into MeshGeom's ball-only field. The ball's rim
+# bounce, outer-net bounce, and drop-in containment track to a few uu;
+# the car driving THROUGH the net is near-exact (the masking parity test —
+# a solid net would stop it at y~2300 and fail by hundreds of uu).
+TOL["hoopsmesh_rim_bounce"] = dict(bpos=8.0, bvel=10.0, rot=0.3)
+TOL["hoopsmesh_net_outside"] = dict(bpos=10.0, bvel=80.0, rot=0.3)
+TOL["hoopsmesh_ball_in"] = dict(bpos=10.0, bvel=10.0, rot=0.3)
+TOL["hoopsmesh_car_through_net"] = dict(pos=1.0, vel=1.0, rot=0.2)
+# car vs rim outer wall: airborne nose-corner contact ON a facet knife
+# edge (a ring vertex sits exactly at the approach line x = 0) — the
+# chaotic contact-event class (car_bump/snowday_car_puck_hit). Bounds
+# catch the failure that matters: a car-masked rim would let the car sail
+# through (settling ~400 uu deeper with no rebound).
+TOL["hoopsmesh_car_rim"] = dict(pos=260.0, vel=430.0, rot=55.0,
+                                flag_slack=24)
+
 # Non-Octane CarConfig presets (steer sweep + sideways flip per preset,
 # recorder.cpp): all track the reference exactly — validates the per-preset
 # hitbox/wheel/suspension tables and the margin-shrunk effective-box

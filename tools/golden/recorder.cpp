@@ -177,9 +177,109 @@ static std::vector<char> rampCmfBytes() {
     return bytes;
 }
 
+// ---- hoops rim + net meshes (--hoops-mesh mode) ----
+//
+// RocketSim's hoops world is 6 analytic planes + dumped .cmf meshes; the
+// basket NET is identified by its exact vertex count (505) and added with
+// collision group/mask CollisionMasks::HOOPS_NET so only the ball touches
+// it (Arena.cpp:1041-1055, Arena.h:164, Ball.cpp:109). These hand-authored
+// stand-ins exercise that masking end-to-end through both engines:
+//   hoops_net.cmf — closed annular shell, r 716..776, z 0..365, 126
+//                   segments = 504 verts + 1 unreferenced dummy = 505
+//                   (MakeBulletMesh adds every file vertex verbatim with
+//                   findOrAddVertex(..., false), so the bullet mesh's
+//                   vertex count equals the file's and trips the
+//                   HOOPS_NET_NUM_VERTS check).
+//   hoops_rim.cmf — annular ring solid, r 716..776, z 365..415, 48
+//                   segments = 192 verts: ordinary world collision.
+// Both sit at the +y basket footprint of Arena::IsBallScored /
+// BallWithinHoopsGoalXYMarginSq (center (0, 2770/0.9), radius 716,
+// Arena.cpp:816-826, APPROX_RIM_HEIGHT 365 :866-869).
+
+static std::vector<char> makeCmf(const std::vector<int32_t>& tris,
+                                 const std::vector<float>& verts) {
+    int32_t numTris = (int32_t)tris.size() / 3;
+    int32_t numVerts = (int32_t)verts.size() / 3;
+    std::vector<char> b;
+    auto put = [&](const void* p, size_t n) {
+        b.insert(b.end(), (const char*)p, (const char*)p + n);
+    };
+    put(&numTris, 4); put(&numVerts, 4);
+    put(tris.data(), tris.size() * 4);
+    put(verts.data(), verts.size() * 4);
+    return b;
+}
+
+// Closed annular shell (tube with rectangular cross-section) around
+// (cx, cy): radii ri..ro, heights z0..z1, R segments. All quads wound so
+// normals point AWAY from the solid material (the SDF bake on the replay
+// side derives the distance sign from triangle normals). Verts in BULLET
+// units (UU / 50, CollisionMeshFile.cpp:64-74).
+static std::vector<char> annularShellCmf(float cx, float cy, float ri,
+                                         float ro, float z0, float z1,
+                                         int R, int dummyVerts) {
+    std::vector<float> verts;
+    std::vector<int32_t> tris;
+    // rings: 0 = outer@z0, 1 = outer@z1, 2 = inner@z1, 3 = inner@z0
+    for (int ring = 0; ring < 4; ring++) {
+        float r = (ring < 2) ? ro : ri;
+        float z = (ring == 1 || ring == 2) ? z1 : z0;
+        for (int i = 0; i < R; i++) {
+            float a = 2.0f * (float)M_PI * i / R;
+            verts.push_back((cx + r * cosf(a)) / 50.f);
+            verts.push_back((cy + r * sinf(a)) / 50.f);
+            verts.push_back(z / 50.f);
+        }
+    }
+    auto vat = [&](int idx, float out[3]) {
+        out[0] = verts[idx * 3]; out[1] = verts[idx * 3 + 1];
+        out[2] = verts[idx * 3 + 2];
+    };
+    // quad (a,b,c,d) wound so the normal points away from `ref`
+    auto quad = [&](int a, int b, int c, int d, const float ref[3]) {
+        float av[3], bv[3], cv[3];
+        vat(a, av); vat(b, bv); vat(c, cv);
+        float e1[3] = {bv[0]-av[0], bv[1]-av[1], bv[2]-av[2]};
+        float e2[3] = {cv[0]-av[0], cv[1]-av[1], cv[2]-av[2]};
+        float n[3] = {e1[1]*e2[2]-e1[2]*e2[1], e1[2]*e2[0]-e1[0]*e2[2],
+                      e1[0]*e2[1]-e1[1]*e2[0]};
+        float cen[3] = {(av[0]+bv[0]+cv[0])/3, (av[1]+bv[1]+cv[1])/3,
+                        (av[2]+bv[2]+cv[2])/3};
+        float toRef[3] = {ref[0]-cen[0], ref[1]-cen[1], ref[2]-cen[2]};
+        bool toward = n[0]*toRef[0] + n[1]*toRef[1] + n[2]*toRef[2] > 0;
+        if (!toward) {  // normal already away from the material ref
+            tris.insert(tris.end(), {a, b, c, a, c, d});
+        } else {
+            tris.insert(tris.end(), {a, c, b, a, d, c});
+        }
+    };
+    auto V = [R](int ring, int i) { return ring * R + (i % R); };
+    float rm = (ri + ro) / 2, zm = (z0 + z1) / 2;
+    for (int i = 0; i < R; i++) {
+        int j = i + 1;
+        float am = 2.0f * (float)M_PI * (i + 0.5f) / R;
+        // material interior reference for this segment (BT units)
+        float ref[3] = {(cx + rm * cosf(am)) / 50.f,
+                        (cy + rm * sinf(am)) / 50.f, zm / 50.f};
+        quad(V(0, i), V(0, j), V(1, j), V(1, i), ref);   // outer wall
+        quad(V(2, i), V(2, j), V(3, j), V(3, i), ref);   // inner wall
+        quad(V(1, i), V(1, j), V(2, j), V(2, i), ref);   // top annulus
+        quad(V(3, i), V(3, j), V(0, j), V(0, i), ref);   // bottom annulus
+    }
+    for (int i = 0; i < dummyVerts; i++) {    // unreferenced; vertex-count
+        verts.push_back(verts[0]);            // padding for the 505 check
+        verts.push_back(verts[1]);
+        verts.push_back(verts[2]);
+    }
+    return makeCmf(tris, verts);
+}
+
+static constexpr float HOOP_CY = 2770.f / 0.9f;   // 3077.78
+
 int main(int argc, char** argv) {
     std::string outDir = argc > 1 ? argv[1] : "traces";
     bool meshMode = argc > 2 && strcmp(argv[2], "--mesh") == 0;
+    bool hoopsMeshMode = argc > 2 && strcmp(argv[2], "--hoops-mesh") == 0;
 
     // Minimal valid .cmf: one triangle flush in a far +x/-y ceiling corner.
     {
@@ -221,6 +321,23 @@ int main(int argc, char** argv) {
             FILE* rf = fopen((outDir + "/ramp.cmf").c_str(), "wb");
             fwrite(ramp.data(), 1, ramp.size(), rf);
             fclose(rf);
+        }
+        if (hoopsMeshMode) {
+            // +y basket: net (505 verts -> ball-only) + rim (world)
+            auto net = annularShellCmf(0, HOOP_CY, 716, 776, 0, 365,
+                                       126, 1);     // 504 + 1 dummy = 505
+            auto rim = annularShellCmf(0, HOOP_CY, 716, 776, 365, 415,
+                                       48, 0);      // 192 verts
+            for (auto* m : {&net, &rim})
+                files[GameMode::HOOPS].push_back(
+                    FileData(m->begin(), m->end()));
+            const char* names[2] = {"/hoops_net.cmf", "/hoops_rim.cmf"};
+            std::vector<char>* bufs[2] = {&net, &rim};
+            for (int i = 0; i < 2; i++) {
+                FILE* f = fopen((outDir + names[i]).c_str(), "wb");
+                fwrite(bufs[i]->data(), 1, bufs[i]->size(), f);
+                fclose(f);
+            }
         }
         RocketSim::InitFromMem(files, true);
     }
@@ -535,12 +652,65 @@ int main(int argc, char** argv) {
              {{{300, ctl()}}}});
     }
 
+    if (hoopsMeshMode) {
+        // --hoops-mesh: ONLY basket scenarios (this process's HOOPS world
+        // carries the authored rim + net meshes).
+        scenarios.clear();
+        auto parkedCar = [](Arena* a, std::vector<Car*>& cars) {
+            // parked on the floor well away from the basket, inside the
+            // replay side's SDF grid bounds
+            cars[0]->SetState(carAt({1800, 1400, REST_Z}, 0));
+        };
+        add({"hoopsmesh_rim_bounce", 240, 1,
+             // ball dropped onto the rim ring's flat top (r = 746 from
+             // the hoop axis, inside the 716..776 band)
+             [parkedCar](Arena* a, std::vector<Car*>& cars) {
+                 parkedCar(a, cars);
+                 a->ball->SetState(
+                     ballAt({0, HOOP_CY - 746, 900}, {0, 0, -1}));
+             },
+             {{{240, ctl()}}}});
+        add({"hoopsmesh_net_outside", 300, 1,
+             // ball flies field-side into the net's OUTER wall below rim
+             // height and bounces back (ball-net collision enabled)
+             [parkedCar](Arena* a, std::vector<Car*>& cars) {
+                 parkedCar(a, cars);
+                 a->ball->SetState(
+                     ballAt({0, 2000, 150}, {0, 1100, 0}));
+             },
+             {{{300, ctl()}}}});
+        add({"hoopsmesh_ball_in", 400, 1,
+             // dropped through the hoop mouth with lateral drift: grazes
+             // the inner wall on the way down, lands inside the basket,
+             // stays contained (concave ball-only contact)
+             [parkedCar](Arena* a, std::vector<Car*>& cars) {
+                 parkedCar(a, cars);
+                 a->ball->SetState(
+                     ballAt({0, HOOP_CY, 1000}, {220, 0, 0}));
+             },
+             {{{400, ctl()}}}});
+        add({"hoopsmesh_car_through_net", 140, 1,
+             // car drives straight through the net shell (both walls of
+             // the near side, y 2301..2361): HOOPS_NET masking means the
+             // trajectory is identical to open floor; ends before the
+             // y = 3581 back wall
+             soloSetup(carAt({0, 1900, REST_Z}, (float)(M_PI / 2))),
+             {{{140, ctl(1)}}}});
+        add({"hoopsmesh_car_rim", 240, 1,
+             // airborne car arcs into the rim ring's outer wall: the rim
+             // is ordinary world collision for cars
+             soloSetup(carAt({0, 2050, 300}, (float)(M_PI / 2), 0, 0,
+                             {0, 800, 350})),
+             {{{240, ctl()}}}});
+    }
+
     for (auto& sc : scenarios) {
         GameMode mode = GameMode::SOCCAR;
         if (sc.name.rfind("snowday_", 0) == 0) mode = GameMode::SNOWDAY;
         if (sc.name.rfind("heatseeker_", 0) == 0)
             mode = GameMode::HEATSEEKER;
-        if (sc.name.rfind("hoops_", 0) == 0) mode = GameMode::HOOPS;
+        if (sc.name.rfind("hoops_", 0) == 0 ||
+            sc.name.rfind("hoopsmesh_", 0) == 0) mode = GameMode::HOOPS;
         const CarConfig* cfg = &CAR_CONFIG_OCTANE;
         if (sc.name.rfind("cfg_dominus_", 0) == 0) cfg = &CAR_CONFIG_DOMINUS;
         if (sc.name.rfind("cfg_plank_", 0) == 0) cfg = &CAR_CONFIG_PLANK;

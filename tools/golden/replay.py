@@ -71,9 +71,17 @@ def mode_for(name):
         return GameMode.SNOWDAY
     if name.startswith("heatseeker_"):
         return GameMode.HEATSEEKER
-    if name.startswith("hoops_"):
+    if name.startswith(("hoops_", "hoopsmesh_")):
         return GameMode.HOOPS
     return GameMode.SOCCAR
+
+
+def mesh_for(name):
+    if name.startswith("mesh_"):
+        return "ramp"
+    if name.startswith("hoopsmesh_"):
+        return "hoops"
+    return None
 
 
 def config_for(name):
@@ -143,16 +151,80 @@ def _mesh_ramp_geom():
     return MeshGeom(dist, dirs, bmin, cell)
 
 
+def _hoops_mesh_geom():
+    """SDF world for the hoopsmesh_* scenarios: the reference's hoops
+    planes that the scenarios can reach (floor + y = 3581 back wall;
+    ceiling/x-walls are outside the grid and unreachable) plus the
+    IDENTICAL authored rim + net meshes both engines load
+    (tests/golden/hoops_{rim,net}.cmf, recorder.cpp annularShellCmf).
+    The 505-vertex net mesh goes into MeshGeom's ball-only field —
+    exactly the masking RocketSim applies (Arena.cpp:1041-1055)."""
+    import numpy as np
+    from rlgymppo_cpp_tpu.sim.mesh_geom import MeshGeom
+    from rlgymppo_cpp_tpu.sim.mesh_loader import load_cmf, bake_sdf
+
+    cache = "/tmp/rlgymppo_golden_hoops_sdf_v1.npz"
+    if os.path.exists(cache):
+        with np.load(cache) as z:
+            return MeshGeom(z["dist"], z["dirs"], z["bounds_min"],
+                            z["cell"], z["net_dist"], z["net_dirs"])
+
+    rim_tris, rim_verts, _h = load_cmf(
+        os.path.join(GOLDEN_DIR, "hoops_rim.cmf"))
+    net_tris, net_verts, _h = load_cmf(
+        os.path.join(GOLDEN_DIR, "hoops_net.cmf"))
+
+    ey = 3581.0
+    quads = [
+        # floor spanning the grid; +z up
+        [(-2100, 1200, 0), (2100, 1200, 0), (2100, 3645, 0),
+         (-2100, 3645, 0)],
+        # back wall y = 3581 (inward normal -y)
+        [(-2100, ey, 0), (2100, ey, 0), (2100, ey, 1100),
+         (-2100, ey, 1100)],
+    ]
+    verts = list(rim_verts)
+    tris = [tuple(t) for t in rim_tris]
+    for quad in quads:
+        i = len(verts)
+        a, b, c = (np.asarray(quad[0], np.float64),
+                   np.asarray(quad[1], np.float64),
+                   np.asarray(quad[2], np.float64))
+        n = np.cross(b - a, c - a)
+        centroid = (a + b + c) / 3.0
+        verts += [np.asarray(q, np.float32) for q in quad]
+        ref = np.asarray((0, 2000, 500), np.float64)
+        if np.dot(n, ref - centroid) >= 0:
+            tris += [(i, i + 1, i + 2), (i, i + 2, i + 3)]
+        else:
+            tris += [(i, i + 2, i + 1), (i, i + 3, i + 2)]
+    tris = np.asarray(tris, np.int32)
+    verts = np.asarray(verts, np.float32)
+
+    bounds_min = (-2100.0, 1200.0, -64.0)
+    bounds_max = (2100.0, 3645.0, 1100.0)
+    dims = (128, 160, 96)
+    dist, dirs, bmin, cell = bake_sdf(
+        tris, verts, bounds_min, bounds_max, dims=dims)
+    net_dist, net_dirs, _, _ = bake_sdf(
+        net_tris, net_verts, bounds_min, bounds_max, dims=dims)
+    np.savez_compressed(cache, dist=dist, dirs=dirs, bounds_min=bmin,
+                        cell=cell, net_dist=net_dist, net_dirs=net_dirs)
+    return MeshGeom(dist, dirs, bmin, cell, net_dist, net_dirs)
+
+
 def make_arena(num_cars, game_mode=GameMode.SOCCAR,
-               car_config=None, mesh=False):
+               car_config=None, mesh=None):
     from rlgymppo_cpp_tpu.sim.car_config import CAR_CONFIG_OCTANE
     car_config = car_config or CAR_CONFIG_OCTANE
     key = (num_cars, game_mode, id(car_config), mesh)
     if key not in _ARENAS:
         teams = tuple(i % 2 for i in range(num_cars))
-        geom = _mesh_ramp_geom() if mesh else None
+        geom = {None: None, "ramp": _mesh_ramp_geom,
+                "hoops": _hoops_mesh_geom}[mesh]
         _ARENAS[key] = Arena(game_mode, teams=teams,
-                             car_config=car_config, geom=geom)
+                             car_config=car_config,
+                             geom=geom() if geom else None)
     return _ARENAS[key]
 
 
@@ -256,7 +328,7 @@ def replay(name):
     tr = load_trace(name)
     R, C = tr["controls"].shape[:2]
     arena = make_arena(C, mode_for(name), config_for(name),
-                       mesh=name.startswith("mesh_"))
+                       mesh=mesh_for(name))
     state = initial_state(arena, tr)
     if mode_for(name) == GameMode.HEATSEEKER:
         # recorder-set hsInfo.yTargetDir per scenario (not in the trace
