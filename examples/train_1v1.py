@@ -70,6 +70,10 @@ def main():
                     help="collide against the SDF-baked triangle-mesh "
                          "arena (sim/soccar_mesh.py) instead of the "
                          "analytic plane soup")
+    ap.add_argument("--hoops", action="store_true",
+                    help="hoops mode; with --mesh uses the generated "
+                         "basket rim + ball-only net meshes "
+                         "(sim/hoops_mesh.py)")
     ap.add_argument("--log", default=None,
                     help="append one JSON line per iteration to this file")
     ap.add_argument("--fused", action="store_true",
@@ -112,13 +116,19 @@ def main():
         # train step shuffles + scans minibatches in-program
         cfg.ppo.mini_batch_size = ts_per_itr // 4
 
+    from rlgymppo_cpp_tpu.sim.arena import GameMode
+    game_mode = GameMode.HOOPS if args.hoops else GameMode.SOCCAR
     geom = None
-    if args.mesh:
+    if args.mesh and args.hoops:
+        from rlgymppo_cpp_tpu.sim.hoops_mesh import make_hoops_mesh_geom
+        geom = make_hoops_mesh_geom()
+    elif args.mesh:
         from rlgymppo_cpp_tpu.sim.soccar_mesh import make_soccar_mesh_geom
         geom = make_soccar_mesh_geom()
 
     match = make_match()
-    gym = Gym(match, num_envs=cfg.num_envs, tick_skip=TICK_SKIP, geom=geom)
+    gym = Gym(match, num_envs=cfg.num_envs, tick_skip=TICK_SKIP,
+              game_mode=game_mode, geom=geom)
     learner = Learner(gym, cfg)
     if args.log:
         import json

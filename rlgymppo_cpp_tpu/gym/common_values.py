@@ -69,15 +69,30 @@ BOOST_LOCATIONS = np.array([
 
 def boost_pad_index_map(pad_pos):
     """Map canonical obs pad order -> arena pad order by 2D position
-    (_BuildBoostPadIndexMap, GameState.cpp:7-50)."""
+    (_BuildBoostPadIndexMap, GameState.cpp:7-50).
+
+    The canonical table is the 34 soccar locations (rlgym's
+    common_values, mirrored by CommonValues.h:40-75) — the reference gym
+    layer fatals on any other pad table. Here non-soccar tables (hoops'
+    20 pads, custom ArenaConfig pads) fall back to arena order, padded
+    with -1 slots that read as permanently inactive, so the obs keeps its
+    fixed 34-wide pad block."""
     pad_pos = np.asarray(pad_pos)
+    n = pad_pos.shape[0]
     mapping = np.zeros(BOOST_LOCATIONS_AMOUNT, dtype=np.int32)
-    for i, target in enumerate(BOOST_LOCATIONS):
-        d2 = np.sum((pad_pos[:, :2] - target[:2]) ** 2, axis=-1)
-        j = int(np.argmin(d2))
-        if d2[j] >= 10.0:
-            raise ValueError(f"no arena pad matches canonical location {i}")
-        mapping[i] = j
-    if len(set(mapping.tolist())) != BOOST_LOCATIONS_AMOUNT:
-        raise ValueError("duplicate boost pad match")
+    canonical = n == BOOST_LOCATIONS_AMOUNT
+    if canonical:
+        for i, target in enumerate(BOOST_LOCATIONS):
+            d2 = np.sum((pad_pos[:, :2] - target[:2]) ** 2, axis=-1)
+            j = int(np.argmin(d2))
+            if d2[j] >= 10.0:
+                canonical = False
+                break
+            mapping[i] = j
+        if canonical and len(set(mapping.tolist())) != \
+                BOOST_LOCATIONS_AMOUNT:
+            raise ValueError("duplicate boost pad match")
+    if not canonical:
+        mapping = np.full(max(BOOST_LOCATIONS_AMOUNT, n), -1, np.int32)
+        mapping[:n] = np.arange(n)
     return mapping

@@ -87,8 +87,12 @@ def make_game_state(arena, state, tick_skip, counters, score_line,
                 & (cars.air_time_since_jump < C.DOUBLEJUMP_MAX_DELAY))
 
     if arena.num_pads:
-        pads_active = state.pads.is_active[..., pad_index_map]
-        pad_timers = state.pads.cooldown[..., pad_index_map]
+        # -1 slots = canonical positions with no arena pad (non-soccar
+        # pad tables): permanently inactive, timer 0
+        valid = pad_index_map >= 0
+        idx = jnp.maximum(pad_index_map, 0)
+        pads_active = state.pads.is_active[..., idx] & valid
+        pad_timers = state.pads.cooldown[..., idx] * valid
     else:
         shape = (*state.batch_shape, 34)
         pads_active = jnp.ones(shape, bool)

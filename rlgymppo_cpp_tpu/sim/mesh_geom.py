@@ -28,6 +28,44 @@ import jax.numpy as jnp
 INF = 1e30
 
 
+MIN_CURVE_RADIUS = 260.0      # tightest curve treated as smooth (the
+                              # arena fillet radius, recorder.cpp)
+
+
+def _encode_dirs(dirs, cell):
+    """Normalize node push-directions and mark SEAM nodes (any axis
+    neighbor whose direction differs by more than the crease threshold)
+    by leaving them unit length; smooth nodes are scaled to 2.0. The
+    sampler then picks the normal source per query from the gathered
+    vector's length alone: nearest-node direction at seams (sharp
+    creases like wall-floor, where the trilinear gradient would blend
+    the two planes into a 45 degree mush), analytic trilinear gradient
+    on smooth/curved surfaces (where per-node constant directions are a
+    staircase).
+
+    The threshold adapts to resolution: on a smooth curve of radius R,
+    adjacent node directions differ by ~cell/R radians, so the floor is
+    1.6 * max_cell / MIN_CURVE_RADIUS (never below 12 deg — authored
+    facet steps like the 12-segment quarter-pipe's 7.5 deg stay smooth,
+    real creases like the 26.6 deg ramp seam or 90 deg wall-floor are
+    far above it at golden-trace resolutions)."""
+    d = np.asarray(dirs, np.float32)
+    thresh = max(np.radians(12.0),
+                 1.6 * float(np.max(cell)) / MIN_CURVE_RADIUS)
+    seam_cos = np.cos(thresh)
+    n = np.linalg.norm(d, axis=-1, keepdims=True)
+    dn = d / np.maximum(n, 1e-9)
+    smooth = np.ones(d.shape[:3], bool)
+    for axis in range(3):
+        a = np.swapaxes(dn, 0, axis)
+        dot = np.sum(a[1:] * a[:-1], axis=-1)
+        bad = dot < seam_cos
+        m = np.swapaxes(smooth, 0, axis)
+        m[1:] &= ~bad
+        m[:-1] &= ~bad
+    return dn * np.where(smooth, 2.0, 1.0)[..., None]
+
+
 def _corner_pack(dist):
     """Cell (i,j,k) holds its 8 corner distances contiguously, so one
     trilinear sample is ONE 8-wide row gather instead of 8 scattered
@@ -58,7 +96,7 @@ class MeshGeom:
     def __init__(self, dist, dirs, bounds_min, cell,
                  net_dist=None, net_dirs=None):
         self.dist = jnp.asarray(dist, jnp.float32)          # [X, Y, Z]
-        self.dirs = jnp.asarray(dirs, jnp.float32)          # [X, Y, Z, 3]
+        self.dirs = jnp.asarray(_encode_dirs(dirs, cell))   # [X, Y, Z, 3]
         self.bounds_min = jnp.asarray(bounds_min, jnp.float32)
         self.cell = jnp.asarray(cell, jnp.float32)
         self.dims = self.dist.shape
@@ -75,7 +113,7 @@ class MeshGeom:
             assert tuple(np.shape(net_dist)) == tuple(self.dims), \
                 "net grid must share the main grid's dims/bounds"
             self.net_dist = jnp.asarray(net_dist, jnp.float32)
-            self.net_dirs = jnp.asarray(net_dirs, jnp.float32)
+            self.net_dirs = jnp.asarray(_encode_dirs(net_dirs, cell))
             self._net_packed = _corner_pack(net_dist)
 
     @classmethod
@@ -121,8 +159,49 @@ class MeshGeom:
 
     # ------------------------------------------------------------- sampling
 
+    def _field_eval(self, packed, dirs, flat_idx, ni, t):
+        """One field's trilinear distance + contact normal.
+
+        Distance and its ANALYTIC GRADIENT come from one 8-wide corner
+        gather (the gradient of the interpolant is exact from the same 8
+        corners — no extra memory traffic — and varies smoothly within a
+        cell). The normal source is selected per query by the
+        _encode_dirs flag carried in the node direction's length:
+        smooth/curved surfaces use the gradient (per-node constant
+        directions are a staircase there — they bled ~7% of climb speed
+        on the quarter-pipe golden traces), sharp concave creases use
+        the nearest-node bake direction (the gradient blends the two
+        planes of a crease into diagonal mush)."""
+        c = jnp.take(packed, flat_idx, axis=0)               # [..., 8]
+        wx1, wy1, wz1 = t[..., 0], t[..., 1], t[..., 2]
+        wx0, wy0, wz0 = 1 - wx1, 1 - wy1, 1 - wz1
+        # packed corner order: bit2 = dx, bit1 = dy, bit0 = dz
+        c0, c1, c2, c3 = c[..., 0], c[..., 1], c[..., 2], c[..., 3]
+        c4, c5, c6, c7 = c[..., 4], c[..., 5], c[..., 6], c[..., 7]
+        d = (wx0 * (wy0 * (wz0 * c0 + wz1 * c1)
+                    + wy1 * (wz0 * c2 + wz1 * c3))
+             + wx1 * (wy0 * (wz0 * c4 + wz1 * c5)
+                      + wy1 * (wz0 * c6 + wz1 * c7)))
+        gx = ((c4 - c0) * wy0 * wz0 + (c5 - c1) * wy0 * wz1
+              + (c6 - c2) * wy1 * wz0 + (c7 - c3) * wy1 * wz1)
+        gy = ((c2 - c0) * wx0 * wz0 + (c3 - c1) * wx0 * wz1
+              + (c6 - c4) * wx1 * wz0 + (c7 - c5) * wx1 * wz1)
+        gz = ((c1 - c0) * wx0 * wy0 + (c3 - c2) * wx0 * wy1
+              + (c5 - c4) * wx1 * wy0 + (c7 - c6) * wx1 * wy1)
+        g = jnp.stack([gx, gy, gz], axis=-1) / self.cell
+        gnorm = jnp.linalg.norm(g, axis=-1, keepdims=True)
+
+        nd = dirs[ni[..., 0], ni[..., 1], ni[..., 2]]
+        ndnorm = jnp.linalg.norm(nd, axis=-1, keepdims=True)
+        smooth = (ndnorm > 1.5) & (gnorm > 1e-6)
+        n = jnp.where(smooth, g / jnp.maximum(gnorm, 1e-6),
+                      nd / jnp.maximum(ndnorm, 1e-6))
+        n = jnp.where(ndnorm > 1e-6, n,
+                      jnp.asarray([0.0, 0.0, 1.0]))
+        return d, n
+
     def _sample(self, pos, for_car=False):
-        """Trilinear distance + nearest-cell direction at pos [..., 3].
+        """Trilinear distance + contact normal at pos [..., 3].
         Out-of-grid positions clamp to the border (distances there are
         `band`, i.e. no contact)."""
         f = (pos - self.bounds_min) / self.cell
@@ -130,36 +209,18 @@ class MeshGeom:
             [d - 1.001 for d in self.dims], jnp.float32))
         i0 = jnp.floor(f).astype(jnp.int32)
         t = f - i0
+        ni = jnp.round(f).astype(jnp.int32)
 
-        # one 8-wide row gather per sample (see _corner_pack)
         cx, cy, cz = self._cdims
         flat_idx = (i0[..., 0] * cy + i0[..., 1]) * cz + i0[..., 2]
-        corners = jnp.take(self._packed, flat_idx, axis=0)   # [..., 8]
-
-        wx1, wy1, wz1 = t[..., 0], t[..., 1], t[..., 2]
-        wx0, wy0, wz0 = 1 - wx1, 1 - wy1, 1 - wz1
-        w = jnp.stack([wx0 * wy0 * wz0, wx0 * wy0 * wz1,
-                       wx0 * wy1 * wz0, wx0 * wy1 * wz1,
-                       wx1 * wy0 * wz0, wx1 * wy0 * wz1,
-                       wx1 * wy1 * wz0, wx1 * wy1 * wz1], axis=-1)
-        d = jnp.sum(corners * w, axis=-1)
-
-        # Direction from the nearest cell (cheap; unit-ish is fine for a
-        # contact normal; re-normalized with an epsilon guard)
-        ni = jnp.round(f).astype(jnp.int32)
-        n = self.dirs[ni[..., 0], ni[..., 1], ni[..., 2]]
+        d, n = self._field_eval(self._packed, self.dirs, flat_idx, ni, t)
 
         if self.has_net and not for_car:
-            nd = jnp.sum(jnp.take(self._net_packed, flat_idx, axis=0) * w,
-                         axis=-1)
-            nn = self.net_dirs[ni[..., 0], ni[..., 1], ni[..., 2]]
+            nd, nn = self._field_eval(self._net_packed, self.net_dirs,
+                                      flat_idx, ni, t)
             closer = nd < d
             d = jnp.where(closer, nd, d)
             n = jnp.where(closer[..., None], nn, n)
-
-        norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
-        n = jnp.where(norm > 1e-6, n / jnp.maximum(norm, 1e-6),
-                      jnp.asarray([0.0, 0.0, 1.0]))
         return d, n
 
     # ----------------------------------------------------------- geom API

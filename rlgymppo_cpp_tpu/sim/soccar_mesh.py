@@ -50,17 +50,62 @@ class _MeshBuilder:
         else:
             self.tris += [(i, i + 2, i + 1), (i, i + 3, i + 2)]
 
+    def quad_idx(self, ia, ib, ic, id_, ref):
+        """Quad over EXISTING vertex indices, same winding rule as quad
+        (normal toward `ref`, a point on the free side)."""
+        av, bv, cv = (np.asarray(self.verts[ia], np.float64),
+                      np.asarray(self.verts[ib], np.float64),
+                      np.asarray(self.verts[ic], np.float64))
+        n = np.cross(bv - av, cv - av)
+        centroid = (av + bv + cv) / 3.0
+        if np.dot(n, np.asarray(ref, np.float64) - centroid) >= 0:
+            self.tris += [(ia, ib, ic), (ia, ic, id_)]
+        else:
+            self.tris += [(ia, ic, ib), (ia, id_, ic)]
+
     def arrays(self):
         return (np.asarray(self.tris, np.int32),
                 np.asarray(self.verts, np.float32))
 
 
-def make_soccar_mesh():
+FILLET_RADIUS = 260.0
+FILLET_SEGS = 10
+
+
+def _floor_fillet(m, p0, p1, inward):
+    """Concave quarter-pipe strip along the wall-floor corner line
+    p0 -> p1 (both at z = 0 ON the wall base), `inward` the wall's unit
+    inward normal. Runs tangent from the wall at z = R to the floor at
+    inward * R — the real arena's curved floor-wall transition
+    (golden-validated against the reference BVH pipeline by the
+    mesh_fillet_* scenarios, recorder.cpp filletCmfBytes)."""
+    R, S = FILLET_RADIUS, FILLET_SEGS
+    p0 = np.asarray(p0, np.float64)
+    p1 = np.asarray(p1, np.float64)
+    inward = np.asarray(inward, np.float64)
+    rows = []
+    for i in range(S + 1):
+        phi = 0.5 * np.pi * i / S
+        off = inward * (R - R * np.cos(phi))
+        z = R - R * np.sin(phi)
+        rows.append(((p0[0] + off[0], p0[1] + off[1], z),
+                     (p1[0] + off[0], p1[1] + off[1], z)))
+    mid = (p0 + p1) / 2
+    axis_ref = (mid[0] + inward[0] * R, mid[1] + inward[1] * R, R)
+    for i in range(S):
+        (a0, b0), (a1, b1) = rows[i], rows[i + 1]
+        m.quad(a0, b0, b1, a1, axis_ref)
+
+
+def make_soccar_mesh(fillets=True):
     """-> (tris int32 [T, 3], verts float32 [V, 3]) for the soccar shell.
 
-    Same surfaces as arena_geom.make_soccar_geom so mesh-world training is
-    directly comparable to the plane-soup world; the difference under test
-    is the collision *backend* (SDF grid vs analytic planes)."""
+    Same surfaces as arena_geom.make_soccar_geom (so mesh-world training
+    is directly comparable to the plane-soup world), plus — by default —
+    quarter-pipe floor-wall fillets along the side walls, corner wedges
+    and back walls, the curved transitions the real dumped arena has and
+    every wall play rides through. `fillets=False` gives the sharp-seam
+    shell (the exact analytic-plane counterpart)."""
     ex, ey, ez = C.ARENA_EXTENT_X, C.ARENA_EXTENT_Y, CEILING_Z
     gw, gh, ny = GOAL_HALF_WIDTH, GOAL_HEIGHT, BACK_NET_Y
     yw = CORNER_INTERSECTION - ex          # side-wall y extent (3968)
@@ -105,6 +150,24 @@ def make_soccar_mesh():
         m.quad((-gw, y, gh), (gw, y, gh), (gw, yn, gh), (-gw, yn, gh),
                goal)
 
+    if fillets:
+        s2 = np.sqrt(0.5)
+        for sx in (1.0, -1.0):
+            # side walls
+            _floor_fillet(m, (sx * ex, -yw, 0), (sx * ex, yw, 0),
+                          (-sx, 0.0))
+            for sy in (1.0, -1.0):
+                # corner wedges
+                _floor_fillet(m, (sx * ex, sy * yw, 0),
+                              (sx * xw, sy * ey, 0),
+                              (-sx * s2, -sy * s2))
+        for sy in (1.0, -1.0):
+            # back walls either side of the goal mouth
+            _floor_fillet(m, (gw, sy * ey, 0), (xw, sy * ey, 0),
+                          (0.0, -sy))
+            _floor_fillet(m, (-xw, sy * ey, 0), (-gw, sy * ey, 0),
+                          (0.0, -sy))
+
     return m.arrays()
 
 
@@ -129,7 +192,7 @@ def make_soccar_mesh_geom(dims=SOCCAR_SDF_DIMS, band=300.0, cache_dir=None):
     os.makedirs(cache_dir, exist_ok=True)
     cmf_path = os.path.join(cache_dir, "soccar_generated.cmf")
     key = "x".join(map(str, dims))
-    npz_path = os.path.join(cache_dir, f"soccar_sdf_v2_{key}.npz")
+    npz_path = os.path.join(cache_dir, f"soccar_sdf_v3_{key}.npz")
 
     if os.path.exists(npz_path):
         with np.load(npz_path) as z:

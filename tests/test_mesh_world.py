@@ -127,3 +127,71 @@ def test_gym_trains_on_mesh(mesh_geom):
     assert learner._fused_eligible
     learner.learn(iterations=1)
     assert learner.total_timesteps == 32
+
+
+# ---------------------------------------------------------------- hoops
+
+@pytest.fixture(scope="module")
+def hoops_geom(tmp_path_factory):
+    from rlgymppo_cpp_tpu.sim.hoops_mesh import make_hoops_mesh_geom
+    return make_hoops_mesh_geom(
+        dims=(80, 96, 48),
+        cache_dir=str(tmp_path_factory.mktemp("hoops_meshes")))
+
+
+@pytest.fixture(scope="module")
+def hoops_arena(hoops_geom):
+    return Arena(GameMode.HOOPS, teams=(0,), geom=hoops_geom)
+
+
+def test_hoops_net_detected(hoops_geom):
+    """The 505-vertex net meshes land in the ball-only field
+    (Arena.cpp:1041-1055 analog in MeshGeom.from_cmf)."""
+    assert hoops_geom.has_net
+    # net field has actual geometry (finite distances near the basket)
+    from rlgymppo_cpp_tpu.sim.hoops_mesh import HOOP_CY, HOOP_R
+    p = jnp.asarray([[0.0, HOOP_CY - HOOP_R - 30.0, 180.0]])
+    d_ball = hoops_geom.signed_distances(p)[0, 0]
+    d_car = hoops_geom.signed_distances(p, for_car=True)[0, 0]
+    assert float(d_ball) < 120.0          # near the net shell
+    assert float(d_car) > float(d_ball)   # car ignores the net
+
+
+def test_hoops_ball_bounces_on_rim(hoops_arena):
+    from rlgymppo_cpp_tpu.sim.hoops_mesh import HOOP_CY, RIM_TOP_Z
+    arena = hoops_arena
+    state = arena.default_state((1,))
+    state = state.replace(ball=state.ball.replace(
+        pos=jnp.asarray([[0.0, HOOP_CY - 746.0, 900.0]]),
+        vel=jnp.asarray([[0.0, 0.0, -1.0]])))
+    controls = CarControls.zeros((1, 1))
+    key = jax.random.PRNGKey(0)
+    step = arena.step_jit(30)
+    bounced = False
+    for _ in range(10):
+        state, _ = step(state, controls, key)
+        if float(state.ball.vel[0, 2]) > 100.0:
+            bounced = True
+    assert bounced, "ball never bounced on the hoop rim"
+    # bounced off the rim top, never reached the floor
+    assert float(state.ball.pos[0, 2]) > RIM_TOP_Z * 0.5
+
+
+def test_hoops_car_drives_through_net(hoops_arena):
+    """HOOPS_NET masking: a car crossing the basket footprint at ground
+    level never decelerates (the net is ball-only)."""
+    arena = hoops_arena
+    state = arena.default_state((1,))
+    cars = state.cars
+    state = state.replace(cars=cars.replace(
+        pos=jnp.asarray([[[0.0, 1900.0, 17.01]]]),
+        rot=jnp.asarray(
+            [[[[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]]]]),
+    ))
+    controls = CarControls.zeros((1, 1)).replace(
+        throttle=jnp.ones((1, 1)))
+    key = jax.random.PRNGKey(0)
+    state, _ = arena.step_jit(140)(state, controls, key)
+    # crossed both walls of the near net shell (y 2301..2361)
+    assert float(state.cars.pos[0, 0, 1]) > 2500.0
+    assert float(state.cars.vel[0, 0, 1]) > 900.0

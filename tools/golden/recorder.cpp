@@ -177,6 +177,60 @@ static std::vector<char> rampCmfBytes() {
     return bytes;
 }
 
+// Concave quarter-pipe fillet along the -x side wall: the real arena's
+// floor-wall transition is curved (the dumped soccar meshes; unavailable),
+// so an equivalent faceted quarter-cylinder (radius 260, 12 segments,
+// y in [-1200, 1200]) is authored identically into both engines. Surface
+// runs tangent from the floor at x = -3836 to the wall at z = 260; the
+// solid is closed with end-cap fans (the floor/wall-coplanar faces are
+// omitted like the ramp's underside — coincident opposite-normal surfaces
+// make the SDF sign ambiguous).
+static std::vector<char> filletCmfBytes() {
+    constexpr int SEGS = 12;
+    constexpr float R = 260.f, X0 = -4096.f, Y0 = -1200.f, Y1 = 1200.f;
+    const float cxAxis = X0 + R;          // cylinder axis x, z = R
+    std::vector<float> verts;             // BT units
+    std::vector<int32_t> tris;
+    auto addVert = [&](float x, float y, float z) {
+        verts.push_back(x / 50.f); verts.push_back(y / 50.f);
+        verts.push_back(z / 50.f);
+        return (int32_t)(verts.size() / 3 - 1);
+    };
+    // arc rows: i = 0 at the wall tangent (x=-4096, z=R) .. SEGS at the
+    // floor tangent (x=-3836, z=0); two y rows each
+    std::vector<int32_t> rowA(SEGS + 1), rowB(SEGS + 1);
+    for (int i = 0; i <= SEGS; i++) {
+        float th = (float)M_PI * (1.0f + 0.5f * i / SEGS);   // 180..270 deg
+        float x = cxAxis + R * cosf(th), z = R + R * sinf(th);
+        rowA[i] = addVert(x, Y0, z);
+        rowB[i] = addVert(x, Y1, z);
+    }
+    // fillet surface: normals point toward the axis center (+x, +z — the
+    // playable side). With u = B_i - A_i = (0, +dy, 0) and
+    // v = B_{i+1} - A_i = (+dx, dy, -dz), u x v = (dy*-dz, 0, -dy*dx)
+    // points into the material, so wind the other way.
+    for (int i = 0; i < SEGS; i++) {
+        tris.insert(tris.end(), {rowA[i], rowB[i + 1], rowB[i]});
+        tris.insert(tris.end(), {rowA[i], rowA[i + 1], rowB[i + 1]});
+    }
+    // end caps: fan from the wall-floor corner (x=-4096, z=0); outward
+    // normals -y at Y0 and +y at Y1
+    int cornerA = addVert(X0, Y0, 0), cornerB = addVert(X0, Y1, 0);
+    for (int i = 0; i < SEGS; i++) {
+        tris.insert(tris.end(), {cornerA, rowA[i + 1], rowA[i]});
+        tris.insert(tris.end(), {cornerB, rowB[i], rowB[i + 1]});
+    }
+    struct __attribute__((packed)) Hdr { int32_t numTris, numVerts; } hdr;
+    hdr.numTris = (int32_t)tris.size() / 3;
+    hdr.numVerts = (int32_t)verts.size() / 3;
+    std::vector<char> bytes(sizeof(hdr) + tris.size() * 4 + verts.size() * 4);
+    char* p = bytes.data();
+    memcpy(p, &hdr, sizeof(hdr)); p += sizeof(hdr);
+    memcpy(p, tris.data(), tris.size() * 4); p += tris.size() * 4;
+    memcpy(p, verts.data(), verts.size() * 4);
+    return bytes;
+}
+
 // ---- hoops rim + net meshes (--hoops-mesh mode) ----
 //
 // RocketSim's hoops world is 6 analytic planes + dumped .cmf meshes; the
@@ -316,11 +370,18 @@ int main(int argc, char** argv) {
             FileData(hoopsBytes.begin(), hoopsBytes.end()));
         if (meshMode) {
             auto ramp = rampCmfBytes();
+            auto fillet = filletCmfBytes();
             files[GameMode::SOCCAR].push_back(
                 FileData(ramp.begin(), ramp.end()));
-            FILE* rf = fopen((outDir + "/ramp.cmf").c_str(), "wb");
-            fwrite(ramp.data(), 1, ramp.size(), rf);
-            fclose(rf);
+            files[GameMode::SOCCAR].push_back(
+                FileData(fillet.begin(), fillet.end()));
+            const char* mnames[2] = {"/ramp.cmf", "/fillet.cmf"};
+            std::vector<char>* mbufs[2] = {&ramp, &fillet};
+            for (int i = 0; i < 2; i++) {
+                FILE* f = fopen((outDir + mnames[i]).c_str(), "wb");
+                fwrite(mbufs[i]->data(), 1, mbufs[i]->size(), f);
+                fclose(f);
+            }
         }
         if (hoopsMeshMode) {
             // +y basket: net (505 verts -> ball-only) + rim (world)
@@ -648,6 +709,22 @@ int main(int argc, char** argv) {
              [](Arena* a, std::vector<Car*>& cars) {
                  cars[0]->SetState(carAt({-2000, -2000, REST_Z}, 0));
                  a->ball->SetState(ballAt({600, 300, 200}, {900, 0, 100}));
+             },
+             {{{300, ctl()}}}});
+        add({"mesh_fillet_drive", 270, 1,
+             // boosts into the quarter-pipe fillet and rides it up onto
+             // the -x wall: the floor-to-wall transition every wall play
+             // goes through, continuous suspension over a curved surface
+             soloSetup(carAt({-2500, 0, REST_Z}, (float)M_PI, 0, 0,
+                             {-500, 0, 0})),
+             {{{150, ctl(1, 0, 0, 0, 0, false, true)},
+               {270, ctl(1)}}}});
+        add({"mesh_fillet_ball", 300, 1,
+             // ball rolls into the fillet, curves up the wall, rolls back
+             [](Arena* a, std::vector<Car*>& cars) {
+                 cars[0]->SetState(carAt({-2000, -2000, REST_Z}, 0));
+                 a->ball->SetState(ballAt({-3000, 200, 93.15f},
+                                          {-1200, 0, 0}));
              },
              {{{300, ctl()}}}});
     }

@@ -77,6 +77,8 @@ def mode_for(name):
 
 
 def mesh_for(name):
+    if name.startswith("mesh_fillet"):
+        return "fillet"
     if name.startswith("mesh_"):
         return "ramp"
     if name.startswith("hoopsmesh_"):
@@ -213,6 +215,57 @@ def _hoops_mesh_geom():
     return MeshGeom(dist, dirs, bmin, cell, net_dist, net_dirs)
 
 
+def _mesh_fillet_geom():
+    """SDF world for the mesh_fillet_* scenarios: floor + the -x side
+    wall + the IDENTICAL authored quarter-pipe fillet both engines load
+    (tests/golden/fillet.cmf, recorder.cpp filletCmfBytes)."""
+    import numpy as np
+    from rlgymppo_cpp_tpu.sim.mesh_geom import MeshGeom
+    from rlgymppo_cpp_tpu.sim.mesh_loader import load_cmf, bake_sdf
+
+    cache = "/tmp/rlgymppo_golden_fillet_sdf_v1.npz"
+    if os.path.exists(cache):
+        with np.load(cache) as z:
+            return MeshGeom(z["dist"], z["dirs"], z["bounds_min"],
+                            z["cell"])
+
+    f_tris, f_verts, _h = load_cmf(
+        os.path.join(GOLDEN_DIR, "fillet.cmf"))
+    quads = [
+        # floor spanning the grid; +z up
+        [(-4096, -1300, 0), (-2200, -1300, 0), (-2200, 1300, 0),
+         (-4096, 1300, 0)],
+        # -x wall (inward normal +x)
+        [(-4096, -1300, 0), (-4096, 1300, 0), (-4096, 1300, 1700),
+         (-4096, -1300, 1700)],
+    ]
+    verts = list(f_verts)
+    tris = [tuple(t) for t in f_tris]
+    ref = np.asarray((-3000, 0, 500), np.float64)
+    for quad in quads:
+        i = len(verts)
+        a, b, c = (np.asarray(quad[0], np.float64),
+                   np.asarray(quad[1], np.float64),
+                   np.asarray(quad[2], np.float64))
+        n = np.cross(b - a, c - a)
+        centroid = (a + b + c) / 3.0
+        verts += [np.asarray(q, np.float32) for q in quad]
+        if np.dot(n, ref - centroid) >= 0:
+            tris += [(i, i + 1, i + 2), (i, i + 2, i + 3)]
+        else:
+            tris += [(i, i + 2, i + 1), (i, i + 3, i + 2)]
+    tris = np.asarray(tris, np.int32)
+    verts = np.asarray(verts, np.float32)
+
+    bounds_min = (-4160.0, -1300.0, -64.0)
+    bounds_max = (-2300.0, 1300.0, 1700.0)
+    dist, dirs, bmin, cell = bake_sdf(
+        tris, verts, bounds_min, bounds_max, dims=(128, 96, 128))
+    np.savez_compressed(cache, dist=dist, dirs=dirs, bounds_min=bmin,
+                        cell=cell)
+    return MeshGeom(dist, dirs, bmin, cell)
+
+
 def make_arena(num_cars, game_mode=GameMode.SOCCAR,
                car_config=None, mesh=None):
     from rlgymppo_cpp_tpu.sim.car_config import CAR_CONFIG_OCTANE
@@ -221,6 +274,7 @@ def make_arena(num_cars, game_mode=GameMode.SOCCAR,
     if key not in _ARENAS:
         teams = tuple(i % 2 for i in range(num_cars))
         geom = {None: None, "ramp": _mesh_ramp_geom,
+                "fillet": _mesh_fillet_geom,
                 "hoops": _hoops_mesh_geom}[mesh]
         _ARENAS[key] = Arena(game_mode, teams=teams,
                              car_config=car_config,
