@@ -70,6 +70,12 @@ def main():
                     help="collide against the SDF-baked triangle-mesh "
                          "arena (sim/soccar_mesh.py) instead of the "
                          "analytic plane soup")
+    ap.add_argument("--fillets", action="store_true",
+                    help="analytic curved soccar bowl: quarter-cylinder "
+                         "floor-wall transitions as closed-form "
+                         "primitives — the realistic curved arena at "
+                         "~9x the SDF mesh world's training speed "
+                         "(arena_geom.make_soccar_geom(fillets=True))")
     ap.add_argument("--hoops", action="store_true",
                     help="hoops mode; with --mesh uses the generated "
                          "basket rim + ball-only net meshes "
@@ -125,6 +131,9 @@ def main():
     elif args.mesh:
         from rlgymppo_cpp_tpu.sim.soccar_mesh import make_soccar_mesh_geom
         geom = make_soccar_mesh_geom()
+    elif args.fillets:
+        from rlgymppo_cpp_tpu.sim.arena_geom import make_soccar_geom
+        geom = make_soccar_geom(fillets=True)
 
     match = make_match()
     gym = Gym(match, num_envs=cfg.num_envs, tick_skip=TICK_SKIP,

@@ -43,18 +43,46 @@ BACK_NET_Y = 6000.0
 CEILING_Z = 2044.0
 # Corner wedge offset: |x| + |y| = 8064 on the 45-degree corner walls.
 CORNER_INTERSECTION = 8064.0
+# Floor-wall transition curve radius used by both the analytic fillet
+# primitives here and the triangulated shell (sim/soccar_mesh.py); matches
+# the authored golden fillet world (tools/golden/recorder.cpp
+# filletCmfBytes, R=260).
+FILLET_RADIUS = 260.0
 
 
 class ArenaGeom:
     """Bounded-plane world for one game mode. Static, hashable, jit-friendly."""
 
     def __init__(self, normals, offsets, region_min, region_max,
-                 car_collides=None, ball_cylinders=()):
+                 car_collides=None, ball_cylinders=(), fillets=(),
+                 fillet_octant=False):
         """`car_collides` [NP] bool: False marks ball-only surfaces (the
         Hoops net: RocketSim adds the 505-vert net mesh with car collision
         disabled via CollisionMasks::HOOPS_NET, Arena.cpp:1037-1053,
         CollisionMasks.h:8-11). Car queries pass for_car=True and skip
-        those planes at trace time."""
+        those planes at trace time.
+
+        `fillets`: concave quarter-cylinder floor-wall transitions — the
+        real arena's curved surfaces as ANALYTIC primitives (pure VPU
+        arithmetic, no gathers, unlike the SDF-grid backend whose random
+        gathers dominate its cost on TPU). Each row is
+        (p0x, p0y, ux, uy, inx, iny, radius, length): the wall base line
+        starts at (p0x, p0y, z=0), runs along the horizontal unit (ux,
+        uy) for `length`, with horizontal inward wall normal (inx, iny);
+        the cylinder axis sits at base + inward*radius at z=radius, and
+        the surface spans the quarter from the wall tangent (z=radius)
+        to the floor tangent. Golden-validated against the reference's
+        faceted BVH fillet by the mesh_fillet_* traces.
+
+        `fillet_octant`: the fillet rows describe only the first octant
+        (x >= 0, y >= 0) of an x/y-mirror-symmetric world; queries fold
+        the point into the octant (|x|, |y|) and unfold the resulting
+        normal. The soccar bowl's 10 fillets collapse to 3 unique rows
+        this way — 3.3x less fillet arithmetic per query. Fold choice is
+        per query point; surfaces crossing a mirror plane must be
+        continuous through it (the side-wall fillet is) and rays must be
+        short relative to their distance from the planes (suspension
+        rays are ~70 uu, fillets sit at |x|>3800)."""
         self.normals = jnp.asarray(normals, dtype=jnp.float32)        # [NP, 3]
         self.offsets = jnp.asarray(offsets, dtype=jnp.float32)        # [NP]
         self.region_min = jnp.asarray(region_min, dtype=jnp.float32)  # [NP, 3]
@@ -67,6 +95,8 @@ class ArenaGeom:
         # rows — used for the hoops net (see make_hoops_geom)
         self.ball_cylinders = tuple(
             tuple(float(v) for v in c) for c in ball_cylinders)
+        self.fillets = tuple(tuple(float(v) for v in f) for f in fillets)
+        self.fillet_octant = bool(fillet_octant)
 
     def signed_distances(self, pos, for_car=False):
         """Signed distance of `pos` [..., 3] to every applicable plane.
@@ -83,6 +113,17 @@ class ArenaGeom:
         )
         return jnp.where(inside, d, INF)
 
+    def _fold(self, pos):
+        """Octant fold for fillet queries: -> (folded pos, sign vector
+        [..., 3] that unfolds a folded-frame normal). Identity when
+        fillet_octant is off."""
+        if not self.fillet_octant:
+            return pos, jnp.ones((3,), pos.dtype)
+        signs = jnp.concatenate(
+            [jnp.where(pos[..., :2] >= 0.0, 1.0, -1.0),
+             jnp.ones_like(pos[..., 2:])], axis=-1)
+        return pos * signs, signs
+
     def sphere_contact(self, pos, radius, for_car=False):
         """Deepest sphere-vs-world contact.
 
@@ -94,6 +135,21 @@ class ArenaGeom:
         best = jnp.argmax(depths, axis=-1)
         depth = jnp.take_along_axis(depths, best[..., None], axis=-1)[..., 0]
         normal = self.normals[best]
+        if self.fillets:
+            fpos, signs = self._fold(pos)
+            for (p0x, p0y, ux, uy, inx, iny, R, L) in self.fillets:
+                ax_, ay_ = p0x + inx * R, p0y + iny * R
+                v = fpos - jnp.asarray([ax_, ay_, R])
+                t = v[..., 0] * ux + v[..., 1] * uy
+                r = v - t[..., None] * jnp.asarray([ux, uy, 0.0])
+                rd = jnp.linalg.norm(r, axis=-1)
+                sect = ((r[..., 0] * inx + r[..., 1] * iny <= 0.0)
+                        & (r[..., 2] <= 0.0) & (t >= 0.0) & (t <= L))
+                fdepth = radius - (R - rd)
+                fnormal = (-r / jnp.maximum(rd, 1e-6)[..., None]) * signs
+                better = sect & (fdepth > depth)
+                depth = jnp.where(better, fdepth, depth)
+                normal = jnp.where(better[..., None], fnormal, normal)
         if not for_car:
             for (ccx, ccy, r_cyl, z_max) in self.ball_cylinders:
                 dxy = pos[..., :2] - jnp.asarray([ccx, ccy])
@@ -134,8 +190,38 @@ class ArenaGeom:
         t_masked = jnp.where(valid, t, INF)
         best = jnp.argmin(t_masked, axis=-1)
         best_t = jnp.take_along_axis(t_masked, best[..., None], axis=-1)[..., 0]
-        hit = best_t < INF
         normal = self.normals[best]
+        if self.fillets:
+            fstart, signs = self._fold(start)
+            fdir = direction * signs
+            for (p0x, p0y, ux, uy, inx, iny, R, L) in self.fillets:
+                axis_pt = jnp.asarray([p0x + inx * R, p0y + iny * R, R])
+                u = jnp.asarray([ux, uy, 0.0])
+                w = fstart - axis_pt
+                w = w - (w @ u)[..., None] * u
+                q = fdir - (fdir @ u)[..., None] * u
+                a = jnp.sum(q * q, axis=-1)
+                b = 2.0 * jnp.sum(w * q, axis=-1)
+                c = jnp.sum(w * w, axis=-1) - R * R
+                disc = b * b - 4.0 * a * c
+                ok = (a > 1e-12) & (disc >= 0.0)
+                # exit root: a ray inside the concave surface (rd < R)
+                # crosses it at the larger root, moving outward =>
+                # front-face by construction (normal points at the axis)
+                th = (-b + jnp.sqrt(jnp.maximum(disc, 0.0))) \
+                    / jnp.maximum(2.0 * a, 1e-12)
+                hp = fstart + fdir * th[..., None]
+                v = hp - axis_pt
+                tt = v @ u
+                r = v - tt[..., None] * u
+                sect = ((r[..., 0] * inx + r[..., 1] * iny <= 0.0)
+                        & (r[..., 2] <= 0.0) & (tt >= 0.0) & (tt <= L))
+                ok = (ok & sect & (th >= 0.0) & (th <= max_len)
+                      & (th < best_t))
+                fnormal = (-r / R) * signs
+                best_t = jnp.where(ok, th, best_t)
+                normal = jnp.where(ok[..., None], fnormal, normal)
+        hit = best_t < INF
         return hit, jnp.where(hit, best_t, max_len), normal
 
 
@@ -194,6 +280,34 @@ class ArenaGeom:
             nx = jnp.where(better, n0, nx)
             ny = jnp.where(better, n1, ny)
             nz = jnp.where(better, n2, nz)
+        if self.fillets:
+            if self.fillet_octant:
+                sgx = jnp.where(pos.x >= 0.0, 1.0, -1.0)
+                sgy = jnp.where(pos.y >= 0.0, 1.0, -1.0)
+                fx, fy = pos.x * sgx, pos.y * sgy
+            else:
+                sgx = sgy = 1.0
+                fx, fy = pos.x, pos.y
+            for (p0x, p0y, ux, uy, inx, iny, R, L) in self.fillets:
+                # concave quarter-cylinder: solid where rd > R inside the
+                # wall-floor quarter sector; ~20 fused elementwise ops, no
+                # gathers (see class docstring)
+                vx = fx - (p0x + inx * R)
+                vy = fy - (p0y + iny * R)
+                vz = pos.z - R
+                t = vx * ux + vy * uy
+                rx = vx - t * ux
+                ry = vy - t * uy
+                rd = jnp.sqrt(rx * rx + ry * ry + vz * vz)
+                sect = ((rx * inx + ry * iny <= 0.0) & (vz <= 0.0)
+                        & (t >= 0.0) & (t <= L))
+                depth = radius - (R - rd)
+                inv = -1.0 / jnp.maximum(rd, 1e-6)
+                better = sect & (depth > best_depth)
+                best_depth = jnp.where(better, depth, best_depth)
+                nx = jnp.where(better, rx * inv * sgx, nx)
+                ny = jnp.where(better, ry * inv * sgy, ny)
+                nz = jnp.where(better, vz * inv, nz)
         if not for_car:
             for (ccx, ccy, r_cyl, z_max) in self.ball_cylinders:
                 # double-sided vertical cylinder (hoops net): the normal
@@ -244,6 +358,49 @@ class ArenaGeom:
             nx = jnp.where(better, n0, nx)
             ny = jnp.where(better, n1, ny)
             nz = jnp.where(better, n2, nz)
+        if self.fillets:
+            if self.fillet_octant:
+                sgx = jnp.where(start.x >= 0.0, 1.0, -1.0)
+                sgy = jnp.where(start.y >= 0.0, 1.0, -1.0)
+            else:
+                sgx = sgy = 1.0
+            sx_, sy_ = start.x * sgx, start.y * sgy
+            dx_, dy_ = direction.x * sgx, direction.y * sgy
+            for (p0x, p0y, ux, uy, inx, iny, R, L) in self.fillets:
+                # exact ray vs the concave quarter-cylinder (see raycast)
+                axx, axy = p0x + inx * R, p0y + iny * R
+                wx0 = sx_ - axx
+                wy0 = sy_ - axy
+                wz0 = start.z - R
+                wu = wx0 * ux + wy0 * uy
+                wx = wx0 - wu * ux
+                wy = wy0 - wu * uy
+                du = dx_ * ux + dy_ * uy
+                qx = dx_ - du * ux
+                qy = dy_ - du * uy
+                qz = direction.z
+                a = qx * qx + qy * qy + qz * qz
+                b = 2.0 * (wx * qx + wy * qy + wz0 * qz)
+                c = wx * wx + wy * wy + wz0 * wz0 - R * R
+                disc = b * b - 4.0 * a * c
+                ok = (a > 1e-12) & (disc >= 0.0)
+                th = (-b + jnp.sqrt(jnp.maximum(disc, 0.0))) \
+                    / jnp.maximum(2.0 * a, 1e-12)
+                hx = sx_ + dx_ * th - axx
+                hy = sy_ + dy_ * th - axy
+                hz = start.z + direction.z * th - R
+                tt = hx * ux + hy * uy
+                rx = hx - tt * ux
+                ry = hy - tt * uy
+                sect = ((rx * inx + ry * iny <= 0.0) & (hz <= 0.0)
+                        & (tt >= 0.0) & (tt <= L))
+                ok = (ok & sect & (th >= 0.0) & (th <= max_len)
+                      & (th < best_t))
+                inv = -1.0 / R
+                best_t = jnp.where(ok, th, best_t)
+                nx = jnp.where(ok, rx * inv * sgx, nx)
+                ny = jnp.where(ok, ry * inv * sgy, ny)
+                nz = jnp.where(ok, hz * inv, nz)
         hit = best_t < INF
         return hit, jnp.where(hit, best_t, max_len), V3(nx, ny, nz)
 
@@ -254,17 +411,67 @@ def _plane(n, d, rmin=(-INF, -INF, -INF), rmax=(INF, INF, INF), car=True):
             bool(car))
 
 
-def _build(planes, ball_cylinders=()):
+def _build(planes, ball_cylinders=(), fillets=(), fillet_octant=False):
     return ArenaGeom(
         np.stack([p[0] for p in planes]).astype(np.float32),
         np.array([p[1] for p in planes], dtype=np.float32),
         np.stack([p[2] for p in planes]).astype(np.float32),
         np.stack([p[3] for p in planes]).astype(np.float32),
         np.array([p[4] for p in planes], dtype=bool),
-        ball_cylinders=ball_cylinders)
+        ball_cylinders=ball_cylinders, fillets=fillets,
+        fillet_octant=fillet_octant)
 
 
-def make_soccar_geom() -> ArenaGeom:
+def fillet_row(p0, p1, inward, radius=FILLET_RADIUS):
+    """ArenaGeom fillet tuple for the wall base line p0 -> p1 (z=0
+    points) with horizontal unit inward normal `inward`."""
+    p0 = np.asarray(p0, np.float64)
+    p1 = np.asarray(p1, np.float64)
+    d = p1 - p0
+    length = float(np.hypot(d[0], d[1]))
+    u = d / length
+    return (float(p0[0]), float(p0[1]), float(u[0]), float(u[1]),
+            float(inward[0]), float(inward[1]), float(radius), length)
+
+
+def soccar_fillet_rows(octant=True):
+    """The floor-wall transition curves of the soccar bowl — side walls,
+    corner wedges, and back walls either side of the goal mouth —
+    mirroring sim/soccar_mesh.py's faceted strips (same lines, same
+    radius). Goal-mouth and wall-wall seams stay sharp, as in the
+    triangulated shell.
+
+    `octant=True` (used with ArenaGeom(fillet_octant=True)) exploits the
+    bowl's x/y mirror symmetry: 3 unique rows instead of 10 — the side
+    wall (continuous through y=0, folded to its y>=0 half), the first
+    corner wedge, and the back-wall segment beside the goal."""
+    s2 = np.sqrt(0.5)
+    ex, ey = C.ARENA_EXTENT_X, C.ARENA_EXTENT_Y
+    gw = GOAL_HALF_WIDTH
+    yw = CORNER_INTERSECTION - ex
+    xw = CORNER_INTERSECTION - ey
+    if octant:
+        return (fillet_row((ex, 0.0), (ex, yw), (-1.0, 0.0)),
+                fillet_row((ex, yw), (xw, ey), (-s2, -s2)),
+                fillet_row((gw, ey), (xw, ey), (0.0, -1.0)))
+    rows = []
+    for sx in (1.0, -1.0):
+        rows.append(fillet_row((sx * ex, -yw), (sx * ex, yw), (-sx, 0.0)))
+        for sy in (1.0, -1.0):
+            rows.append(fillet_row((sx * ex, sy * yw), (sx * xw, sy * ey),
+                                   (-sx * s2, -sy * s2)))
+    for sy in (1.0, -1.0):
+        rows.append(fillet_row((gw, sy * ey), (xw, sy * ey), (0.0, -sy)))
+        rows.append(fillet_row((-xw, sy * ey), (-gw, sy * ey), (0.0, -sy)))
+    return tuple(rows)
+
+
+def make_soccar_geom(fillets=False) -> ArenaGeom:
+    """`fillets=True` adds the analytic quarter-cylinder floor-wall
+    transitions — the realistic curved bowl at plane-soup cost (pure
+    elementwise arithmetic; the SDF mesh backend's random gathers cost
+    ~10x more per tick on TPU). Default False keeps the sharp-seam world
+    the plane-world golden traces were recorded against."""
     s = np.sqrt(0.5)
     gw, gh, ny = GOAL_HALF_WIDTH, GOAL_HEIGHT, BACK_NET_Y
     ex, ey, ez = C.ARENA_EXTENT_X, C.ARENA_EXTENT_Y, CEILING_Z
@@ -301,7 +508,10 @@ def make_soccar_geom() -> ArenaGeom:
             _plane((0, 0, -1), -gh, rmin=in_goal_min, rmax=in_goal_max),  # goal roof
         ]
 
-    return _build(planes)
+    return _build(planes,
+                  fillets=soccar_fillet_rows(octant=True) if fillets
+                  else (),
+                  fillet_octant=bool(fillets))
 
 
 def make_hoops_geom() -> ArenaGeom:

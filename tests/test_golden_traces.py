@@ -258,3 +258,47 @@ def test_golden_trace(name):
                    ("jump_time", 0.03), ("flip_time", 0.03)):
         err = np.abs(tr[f][:u] - ours[f][:u]).max()
         assert err <= tol, f"{name}: {f} err {err:.4f} > {tol}"
+
+
+# The ANALYTIC quarter-cylinder fillet (arena_geom fillets — the curved
+# soccar bowl at plane-soup cost, no SDF gathers) replayed against the
+# SAME reference mesh-fillet traces. The analytic surface is the smooth
+# cylinder the reference's 12-segment facets approximate (max gap
+# ~0.56 uu); it tracks the reference BETTER than the SDF bake (exact
+# normals/distances vs grid interpolation): drive pos drift 22.8 uu vs
+# the SDF's 61.6, ball 15.7 vs 12.0. Tolerances ~1.5x measured.
+ANALYTIC_TOL = {
+    "mesh_fillet_drive": dict(pos=35.0, vel=70.0, rot=1.6, flag_slack=4),
+    "mesh_fillet_ball": dict(bpos=20.0, bvel=60.0, rot=0.3),
+}
+
+
+@pytest.mark.parametrize("name", sorted(ANALYTIC_TOL))
+def test_analytic_fillet_trace(name):
+    from replay import replay
+    tr, ours = replay(name, world="fillet_analytic")
+    R = tr["controls"].shape[0]
+    t = {**DEFAULT, **ANALYTIC_TOL[name]}
+    u = t["until"] or R
+
+    def maxn(field):
+        return np.linalg.norm(tr[field][:u] - ours[field][:u],
+                              axis=-1).max()
+
+    pe = maxn("pos")
+    ve = np.percentile(np.linalg.norm(
+        tr["vel"][:u] - ours["vel"][:u], axis=-1), 98)
+    re = rot_angle_deg(tr["rot"][:u], ours["rot"][:u]).max()
+    be = maxn("ball_pos")
+    bv = np.percentile(np.linalg.norm(
+        tr["ball_vel"][:u] - ours["ball_vel"][:u], axis=-1), 98)
+    assert pe <= t["pos"], f"{name}: car pos drift {pe:.2f} > {t['pos']}"
+    assert ve <= t["vel"], f"{name}: car vel p98 {ve:.2f} > {t['vel']}"
+    assert re <= t["rot"], f"{name}: car rot drift {re:.2f}d > {t['rot']}"
+    assert be <= t["bpos"], f"{name}: ball pos drift {be:.2f} > {t['bpos']}"
+    assert bv <= t["bvel"], f"{name}: ball vel p98 {bv:.2f} > {t['bvel']}"
+    slack = t["flag_slack"]
+    for f in FLAGS:
+        bad = _flag_mismatch_ticks(tr, ours, f, u)
+        assert bad <= slack, \
+            f"{name}: flag {f} mismatched for {bad} ticks (> {slack})"

@@ -266,6 +266,25 @@ def _mesh_fillet_geom():
     return MeshGeom(dist, dirs, bmin, cell)
 
 
+def _fillet_analytic_geom():
+    """ANALYTIC counterpart of _mesh_fillet_geom: the same floor + -x
+    wall + quarter-pipe fillet as ArenaGeom primitives (planes + one
+    arena_geom fillet row, smooth cylinder vs the reference's 12-segment
+    facets — max surface gap R*(1-cos(pi/48)) ~ 0.56 uu). Replaying the
+    SAME reference traces through this world validates the analytic
+    fillet primitive end-to-end."""
+    import numpy as np
+    from rlgymppo_cpp_tpu.sim.arena_geom import ArenaGeom, fillet_row, INF
+
+    normals = np.array([[0, 0, 1], [1, 0, 0]], np.float32)
+    offsets = np.array([0.0, -4096.0], np.float32)
+    rmin = np.full((2, 3), -INF, np.float32)
+    rmax = np.full((2, 3), INF, np.float32)
+    return ArenaGeom(normals, offsets, rmin, rmax,
+                     fillets=(fillet_row((-4096.0, -1200.0),
+                                         (-4096.0, 1200.0), (1.0, 0.0)),))
+
+
 def make_arena(num_cars, game_mode=GameMode.SOCCAR,
                car_config=None, mesh=None):
     from rlgymppo_cpp_tpu.sim.car_config import CAR_CONFIG_OCTANE
@@ -275,6 +294,7 @@ def make_arena(num_cars, game_mode=GameMode.SOCCAR,
         teams = tuple(i % 2 for i in range(num_cars))
         geom = {None: None, "ramp": _mesh_ramp_geom,
                 "fillet": _mesh_fillet_geom,
+                "fillet_analytic": _fillet_analytic_geom,
                 "hoops": _hoops_mesh_geom}[mesh]
         _ARENAS[key] = Arena(game_mode, teams=teams,
                              car_config=car_config,
@@ -374,15 +394,17 @@ def _scan_replay(arena):
     return run
 
 
-def replay(name):
+def replay(name, world=None):
     """Run the TPU engine under the trace's controls.
 
+    `world` overrides the collision world (a make_arena `mesh` key) —
+    used to replay the mesh_fillet traces through the ANALYTIC fillet.
     -> (trace dict, ours dict with the same keys/shapes [R, C, w]/[R, 3])
     """
     tr = load_trace(name)
     R, C = tr["controls"].shape[:2]
     arena = make_arena(C, mode_for(name), config_for(name),
-                       mesh=mesh_for(name))
+                       mesh=world or mesh_for(name))
     state = initial_state(arena, tr)
     if mode_for(name) == GameMode.HEATSEEKER:
         # recorder-set hsInfo.yTargetDir per scenario (not in the trace
