@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--opponents", action="store_true")
     ap.add_argument("--mesh", action="store_true",
                     help="train on the SDF-baked mesh arena world")
+    ap.add_argument("--fillets", action="store_true",
+                    help="train on the analytic curved-bowl world "
+                         "(quarter-cylinder floor-wall fillets)")
     ap.add_argument("--skill-tracker", action="store_true")
     ap.add_argument("--ts-base", type=int, default=50_000,
                     help="approximate timesteps per iteration")
@@ -54,6 +57,9 @@ def main():
     if args.mesh:
         from rlgymppo_cpp_tpu.sim.soccar_mesh import make_soccar_mesh_geom
         geom = make_soccar_mesh_geom()
+    elif args.fillets:
+        from rlgymppo_cpp_tpu.sim.arena_geom import make_soccar_geom
+        geom = make_soccar_geom(fillets=True)
     gym = Gym(match, num_envs=args.envs, tick_skip=8, geom=geom)
 
     # round to a whole rollout window so the Learner takes the fused path
