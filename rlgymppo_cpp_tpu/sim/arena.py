@@ -246,9 +246,28 @@ class Arena:
 
     # ------------------------------------------------------------------- tick
 
+    def _tick_respawn_idx(self, key, N):
+        """Random respawn-location index per (player, env) for one tick —
+        the ONLY randomness the tick consumes. Hoisted out of
+        _tick_core_inner so the fused Pallas tick kernel (ops/
+        pallas_tick.py) can take it as a plain input; key semantics match
+        the original in-tick split exactly."""
+        _, krespawn = jax.random.split(key)
+        return jax.random.randint(
+            krespawn, (self.num_players, N), 0,
+            C.CAR_RESPAWN_LOCATION_AMOUNT)
+
     def _tick_core(self, core, controls, key):
-        """One 1/120s tick on the env-last core layout. Returns
-        (core', events) with per-player event arrays shaped [P, N]."""
+        N = core.cars.boost.shape[-1]
+        return self._tick_core_inner(core, controls,
+                                     self._tick_respawn_idx(key, N))
+
+    def _tick_core_inner(self, core, controls, ridx):
+        """One 1/120s tick on the env-last core layout; `ridx` [P, N]
+        int32 is this tick's pre-drawn respawn table index. Returns
+        (core', events) with per-player event arrays shaped [P, N].
+        Pure elementwise/select math — no RNG, no gathers — so it runs
+        unchanged inside the fused Pallas tick kernel."""
         dt = self.tick_time
         mut = self.mut
         geom = self.geom
@@ -263,9 +282,7 @@ class Arena:
         sleeping = (ball.vel.norm_sq() == 0.0) & (ball.ang_vel.norm_sq() == 0.0)
 
         # Respawn placement for cars whose demo timer expires this tick
-        key, krespawn = jax.random.split(key)
         L = C.CAR_RESPAWN_LOCATION_AMOUNT
-        ridx = jax.random.randint(krespawn, (P, N), 0, L)
         team_sign = jnp.where(teams == 0, 1.0, -1.0)[:, None]
         # select-chain over the tiny static spawn table (no gathers)
         tbl = np.asarray(
@@ -332,9 +349,13 @@ class Arena:
         if self.game_mode == GameMode.HEATSEEKER:
             hs = ball.hs_info
             any_hit = jnp.any(ball_hit, axis=0)
-            hitter = jnp.argmax(
-                jnp.where(ball_hit, jnp.arange(P)[:, None], -1), axis=0)
-            new_dir = jnp.where(teams[hitter] == 0, 1.0, -1.0)
+            # last-hitting player's team as a static select chain over P
+            # (== argmax-of-index + teams gather, but Pallas-legal)
+            hit_team = jnp.zeros(ball_hit.shape[1:], jnp.int32)
+            for p in range(P):
+                hit_team = jnp.where(ball_hit[p], int(self.teams[p]),
+                                     hit_team)
+            new_dir = jnp.where(hit_team == 0, 1.0, -1.0)
             can_increase = (hs.time_since_hit
                             > C.Heatseeker.MIN_SPEEDUP_INTERVAL) \
                 | (hs.y_target_dir == 0)

@@ -4,6 +4,7 @@ RocketSim src/Sim/Ball/Ball.cpp:112-253)."""
 
 import jax.numpy as jnp
 
+from rlgymppo_cpp_tpu.maths import fastmath
 from rlgymppo_cpp_tpu.maths.v3 import V3, vwhere
 from rlgymppo_cpp_tpu.sim import constants as C
 from rlgymppo_cpp_tpu.sim import core_rb as rb
@@ -31,9 +32,9 @@ def _round_angle_ue3(yaw, pitch):
 
 def _angle_from_vec(v: V3):
     nonzero_2d = (jnp.abs(v.x) > EPS) | (jnp.abs(v.y) > EPS)
-    yaw = jnp.where(nonzero_2d, jnp.arctan2(v.y, v.x), 0.0)
+    yaw = jnp.where(nonzero_2d, fastmath.atan2(v.y, v.x), 0.0)
     dist2d = jnp.sqrt(v.x * v.x + v.y * v.y)
-    pitch_2d = jnp.arctan2(v.z, dist2d)
+    pitch_2d = fastmath.atan2(v.z, dist2d)
     pitch_axis = jnp.where(v.z > EPS, jnp.pi / 2,
                            jnp.where(v.z < -EPS, -jnp.pi / 2, 0.0))
     pitch = jnp.where(nonzero_2d, pitch_2d, pitch_axis)

@@ -11,6 +11,7 @@ any `[..., None]` reshaping.
 import jax
 import jax.numpy as jnp
 
+from rlgymppo_cpp_tpu.maths import fastmath
 from rlgymppo_cpp_tpu.maths.v3 import V3, M3, vwhere
 from rlgymppo_cpp_tpu.sim import constants as C
 from rlgymppo_cpp_tpu.sim import core_rb as rb
@@ -387,7 +388,7 @@ def car_pre_tick(cars, wheels, controls, geom, cfg, mut, dt,
 
     # =================== _UpdateAutoFlip (Car.cpp:763-797) ==================
     # roll angle (rotmat_to_euler): roll = atan2(-m[2,1], m[2,2])
-    roll_ang = jnp.arctan2(-cars.rot.r.z, cars.rot.u.z)
+    roll_ang = fastmath.atan2(-cars.rot.r.z, cars.rot.u.z)
     autoflip_trigger = (
         jump_pressed & cars.has_world_contact
         & (cars.world_contact_normal.z > C.CAR_AUTOFLIP_NORMZ_THRESH)
@@ -463,7 +464,7 @@ def car_pre_tick(cars, wheels, controls, geom, cfg, mut, dt,
     scale_y = ((C.FLIP_SIDE_IMPULSE_MAX_SPEED_SCALE - 1) * fwd_ratio) + 1.0
     init_x = init_x * scale_x
     init_y = init_y * scale_y
-    fwd_ang = jnp.arctan2(fwd.y, fwd.x)
+    fwd_ang = fastmath.atan2(fwd.y, fwd.x)
     ca, sa = jnp.cos(fwd_ang), jnp.sin(fwd_ang)
     delta_v = V3(init_x * ca - init_y * sa, init_x * sa + init_y * ca,
                  jnp.zeros_like(ca))

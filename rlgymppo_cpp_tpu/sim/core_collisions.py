@@ -468,8 +468,12 @@ def car_car_contacts(cars, mut, ii_diag, half_extents, offset, dt, active,
     victim_impulse = vwhere(plain_bump, bump_impulse, zero).sum(axis=0)
 
     any_bump = jnp.any(bump, axis=1)
-    victim_idx = jnp.argmax(
-        jnp.where(bump, idx[None, :, None], -1), axis=1).astype(jnp.int32)
+    # highest-index bumped victim per bumper: static select chain over the
+    # (small) player axis — equals argmax(where(bump, j, -1)) incl. the
+    # no-bump→0 case, and is Mosaic-legal (int argmax is not)
+    victim_idx = jnp.zeros(bump.shape[:1] + bump.shape[2:], jnp.int32)
+    for j in range(P):
+        victim_idx = jnp.where(bump[:, j], jnp.int32(j), victim_idx)
     bumper_other = jnp.where(any_bump, victim_idx,
                              cars.car_contact_other_idx)
     bumper_cooldown = jnp.where(any_bump, mut.bump_cooldown_time,

@@ -29,11 +29,13 @@ def _i(shape, fill=0):
 
 
 def _v3(shape, fill=(0.0, 0.0, 0.0)):
-    return jnp.broadcast_to(jnp.asarray(fill, dtype=jnp.float32), (*shape, 3)).copy()
+    # no .copy(): jax arrays are immutable anyway, and Mosaic (Pallas TPU)
+    # has no lowering for the copy primitive
+    return jnp.broadcast_to(jnp.asarray(fill, dtype=jnp.float32), (*shape, 3))
 
 
 def _eye3(shape):
-    return jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (*shape, 3, 3)).copy()
+    return jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (*shape, 3, 3))
 
 
 @struct.dataclass
