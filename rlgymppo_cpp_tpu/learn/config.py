@@ -37,7 +37,8 @@ class SkillTrackerConfig:
     enabled: bool = False
     per_mode_ratings: bool = False
     num_envs: int = 64
-    games_per_update: int = 1
+    update_interval: int = 4          # iterations between rating evals
+                                      # (SkillTrackerConfig.h:20)
     timesteps_per_version: int = 50_000_000
     max_versions: int = 4
     starting_rating: float = 1000.0   # initialRating (SkillTrackerConfig.h)

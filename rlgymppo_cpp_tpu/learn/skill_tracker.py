@@ -98,11 +98,13 @@ class SkillTracker:
 
     @functools.partial(jax.jit, static_argnames=("self", "num_steps"))
     def _eval_rollout(self, cur_params, old_stack, gym_state, obs,
-                      team_swap, old_idx, key, num_steps):
+                      team_swap, old_idx, num_valid, key, num_steps):
         """Lockstep eval of all envs for num_steps.
 
-        old_stack: param pytree with leading [V] axis. team_swap [N] bool:
-        True -> old policy plays blue. Returns per-step goal records.
+        old_stack: param pytree with a constant [max_versions] leading
+        axis, entries >= num_valid being padding (never sampled).
+        team_swap [N] bool: True -> old policy plays blue. Returns
+        per-step goal records.
         """
         gym = self.gym
         N, P, O = gym.num_envs, gym.num_players, gym.obs_size
@@ -140,10 +142,10 @@ class SkillTracker:
                    "old_idx": old_idx}
 
             # game.Reset on done: new random swap + opponent version
-            V = jax.tree.leaves(old_stack)[0].shape[0]
+            # (sampled from the VALID prefix of the padded stack)
             k_swap, k_old = jax.random.split(k_reset)
             new_swap = jax.random.bernoulli(k_swap, shape=(N,))
-            new_old = jax.random.randint(k_old, (N,), 0, V)
+            new_old = jax.random.randint(k_old, (N,), 0, num_valid)
             team_swap2 = jnp.where(done, new_swap, team_swap)
             old_idx2 = jnp.where(done, new_old, old_idx)
             return (gym_state, obs, team_swap2, old_idx2, key), rec
@@ -159,7 +161,11 @@ class SkillTracker:
         """SkillTracker::RunGames (SkillTracker.cpp:165-257). Mutates
         ratings; returns the current rating dict."""
         cfg = self.config
-        if self.run_counter % cfg.games_per_update != 0:
+        if self.run_counter % cfg.update_interval != 0:
+            # SkillTracker.cpp:168-171 skips eval between updateInterval
+            # iterations; unlike the reference we still accrue the
+            # timestep delta toward version snapshots (the reference
+            # silently drops skipped-iteration deltas)
             self.run_counter += 1
             self._advance_version(cur_params, timesteps_delta)
             return self.cur_rating
@@ -186,15 +192,20 @@ class SkillTracker:
             self._team_swap = jax.random.bernoulli(k1, shape=(N,))
             self._old_idx = jnp.zeros((N,), jnp.int32)
 
-        old_stack = jax.tree.map(
-            lambda *xs: jnp.stack(xs), *self.old_params)
-        self._old_idx = jnp.minimum(self._old_idx, len(self.old_params) - 1)
+        # pad the version stack to max_versions so its shape is constant
+        # across the whole run — otherwise every new snapshot changes the
+        # leading axis and re-compiles the eval scan (~minutes each)
+        num_valid = len(self.old_params)
+        padded = self.old_params + [self.old_params[-1]] * (
+            cfg.max_versions - num_valid)
+        old_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
+        self._old_idx = jnp.minimum(self._old_idx, num_valid - 1)
 
         self._key, sub = jax.random.split(self._key)
         self._gym_state, self._obs, self._team_swap, self._old_idx, recs = \
             self._eval_rollout(cur_params, old_stack, self._gym_state,
                                self._obs, self._team_swap, self._old_idx,
-                               sub, num_steps)
+                               jnp.int32(num_valid), sub, num_steps)
 
         scored = np.asarray(recs["scored"])          # [T, N]
         cur_scored = np.asarray(recs["cur_scored"])

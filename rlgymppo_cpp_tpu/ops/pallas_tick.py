@@ -347,11 +347,8 @@ def _build(arena_ref, num_ticks, n, core_struct, ctrl_struct, interpret):
     RP = ((P + 7) // 8) * 8          # ridx rows per tick, 8-aligned
 
     # Mosaic cannot truncate loaded i8/i32 vectors to i1, so bool groups
-    # are STORED as int32 and converted with compares at the kernel edge
-    def _load(ref, g):
-        v = ref[:]
-        return (v != 0) if g == "bool" else v
-
+    # are STORED as int32 (PackLayout to/from_storage does the per-leaf
+    # conversion inside the kernel; feeds/outputs convert XLA-side here)
     def _store_cast(a, g):
         return a.astype(jnp.int32) if g == "bool" else a
 
