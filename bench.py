@@ -25,8 +25,11 @@ import time
 
 # Persistent XLA compilation cache: the fused train step takes ~60-90s to
 # compile cold on a v5e chip; cached reruns start timing almost immediately.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      "/tmp/rlgymppo_tpu_jax_cache")
+# Per-user location: a fixed shared /tmp path breaks on multi-user hosts
+# (permissions) and /tmp can be evicted or tampered with.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "rlgymppo_tpu", "jax"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import jax

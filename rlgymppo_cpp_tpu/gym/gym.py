@@ -103,6 +103,17 @@ class Gym:
         self.obs_size = match.obs_builder.obs_size(self.num_players)
         self.action_amount = match.action_parser.action_amount
 
+    def with_num_envs(self, num_envs):
+        """Same Match/arena configuration at a different batch size (used
+        by the Learner's render-mode override, Learner.cpp:38-51)."""
+        return Gym(self.match, num_envs, tick_skip=self.tick_skip,
+                   car_config=self.arena.car_config,
+                   game_mode=self.arena.game_mode,
+                   mutator_config=self.arena.mut,
+                   event_tracker_config=self.event_tracker.config,
+                   arena_config=self.arena.arena_config,
+                   geom=self.arena.geom)
+
     # ------------------------------------------------------------------ reset
 
     def _zero_counters(self):

