@@ -108,10 +108,14 @@ class EventReward(RewardFunction):
             gs.score_line, jnp.broadcast_to(
                 1 - teams, (*gs.score_line.shape[:-1], len(self.teams))),
             axis=-1)
+        # NOTE: the boostPickup channel tracks the positive delta of
+        # boostFRACTION, not a pickup counter — PlayerData::boostPickups is
+        # never incremented by the reference (CommonRewards.cpp:17 reads
+        # player.boostFraction into the val set).
         vals = [
             gs.match_goals, team_goals, opp_goals, gs.match_assists,
             gs.ball_touched_step, gs.match_shots, gs.match_shot_passes,
-            gs.match_saves, gs.match_demos, gs.is_demoed, gs.boost_pickups,
+            gs.match_saves, gs.match_demos, gs.is_demoed, gs.boost_fraction,
         ]
         return jnp.stack([v.astype(jnp.float32) for v in vals], axis=-1)
 

@@ -74,3 +74,74 @@ def test_learner_with_groups(tmp_path):
     learner.learn(iterations=2)
     assert learner.total_timesteps == 2 * (64 // 16) * 16
     assert learner.ppo.cumulative_model_updates > 0
+
+
+def _tiny_state(P=4, **overrides):
+    """Minimal hand-set GameState (N=1) for reward unit tests."""
+    import jax.numpy as jnp
+    from rlgymppo_cpp_tpu.gym.gamestate import GameState
+
+    z3 = jnp.zeros((1, 3))
+    zp3 = jnp.zeros((1, P, 3))
+    eye = jnp.broadcast_to(jnp.eye(3), (1, P, 3, 3))
+    zp = jnp.zeros((1, P))
+    fields = dict(
+        ball_pos=z3, ball_vel=z3, ball_ang_vel=z3,
+        car_pos=zp3, car_rot=eye, car_vel=zp3, car_ang_vel=zp3,
+        boost_fraction=zp, is_on_ground=zp > 0, is_demoed=zp > 0,
+        has_jump=zp > -1, has_flip=zp > -1,
+        ball_touched_step=zp > 0, ball_touched_tick=zp > 0,
+        match_goals=zp, match_saves=zp, match_assists=zp,
+        match_shots=zp, match_shot_passes=zp, match_bumps=zp,
+        match_demos=zp, boost_pickups=zp,
+        pads_active=jnp.ones((1, 34), bool), pad_timers=jnp.zeros((1, 34)),
+        score_line=jnp.zeros((1, 2)),
+        last_touch_idx=jnp.full((1,), -1, jnp.int32),
+    )
+    fields.update(overrides)
+    return GameState(**fields)
+
+
+def test_zero_sum_reward_hand_computed():
+    """ZeroSumReward.cpp:3-30 pinned to hand-worked numbers: child rewards
+    (1,2,3,4) on teams (B,B,O,O), spirit 0.3, oppScale 0.7 ->
+    r*0.7 + ownAvg*0.3 - oppAvg*0.7."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rlgymppo_cpp_tpu.gym.rewards import RewardFunction, ZeroSumReward
+
+    class Const(RewardFunction):
+        def compute(self, gs, prev_actions, final, carry):
+            return jnp.asarray([[1.0, 2.0, 3.0, 4.0]]), carry
+
+    fn = ZeroSumReward(Const(), team_spirit=0.3, opponent_scale=0.7)
+    fn.bind_teams([0, 0, 1, 1])
+    gs = _tiny_state()
+    out, _ = fn.compute(gs, None, False, fn.init(gs))
+    np.testing.assert_allclose(
+        np.asarray(out)[0], [-1.3, -0.6, 2.1, 2.8], atol=1e-6)
+
+
+def test_event_reward_assist_shotpass_weights():
+    """Assist/shotPass channels (never hit in the golden gym traces):
+    positive deltas x weights, negative deltas ignored
+    (CommonRewards.cpp:32-42)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from rlgymppo_cpp_tpu.gym.rewards import EventReward
+
+    fn = EventReward(assist=8.0, shot_pass=64.0, demoed=-512.0)
+    fn.bind_teams([0, 0, 1, 1])
+    gs0 = _tiny_state(
+        match_assists=jnp.asarray([[0.0, 1.0, 0.0, 0.0]]),
+        is_demoed=jnp.asarray([[False, True, False, False]]))
+    carry = fn.init(gs0)
+    gs1 = _tiny_state(
+        match_assists=jnp.asarray([[1.0, 1.0, 0.0, 0.0]]),   # p0 +1 assist
+        match_shot_passes=jnp.asarray([[0.0, 2.0, 0.0, 0.0]]),  # p1 +2
+        is_demoed=jnp.asarray([[False, False, True, False]]))  # p2 demoed
+    out, _ = fn.compute(gs1, None, False, carry)
+    # p0: 1 assist * 8; p1: 2 shotPasses * 64 (its demoed flag DROPPED ->
+    # no -512, only positive deltas count); p2: newly demoed -> -512
+    np.testing.assert_allclose(
+        np.asarray(out)[0], [8.0, 128.0, -512.0, 0.0], atol=1e-6)
