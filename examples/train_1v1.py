@@ -96,7 +96,9 @@ def main():
     cfg = LearnerConfig(
         num_envs=args.envs,
         timesteps_per_iteration=ts_per_itr,
-        exp_buffer_size=ts_per_itr if args.fused else ts_per_itr * 3,
+        # examplemain.cpp:119 economics either way: the fused path carries
+        # the 3-batch window on device (train_step.py buffer_mult)
+        exp_buffer_size=ts_per_itr * 3,
         timestep_limit=args.timesteps,
         ppo=PPOLearnerConfig(
             batch_size=ts_per_itr,

@@ -148,23 +148,31 @@ class Learner:
         self.run_id = None
 
         # The reference's default economics collect exactly one batch per
-        # iteration and consume it whole (examplemain.cpp:115-124). When
-        # the config matches that shape, the whole iteration fuses into
-        # ONE compiled program (learn/train_step.py) — no host round trips
-        # between collect, GAE and PPO. This is the TPU headline path;
-        # the eager 3-phase path below covers every other configuration.
+        # iteration and keep a K-batch experience window (examplemain.cpp:
+        # 115-124: expBufferSize = 3 * batchSize), running one optimizer
+        # step per shuffled batch. When the config matches that shape
+        # (any integer K), the whole iteration fuses into ONE compiled
+        # program (learn/train_step.py) carrying the K-1 previous batches
+        # on device — no host round trips between collect, GAE and PPO.
+        # This is the TPU headline path; the eager 3-phase path below
+        # covers every other configuration.
         self._train_step = None
+        self._fused_buffer = None
+        self._fused_K = (cfg.exp_buffer_size // cfg.ppo.batch_size
+                         if cfg.ppo.batch_size
+                         and cfg.exp_buffer_size % cfg.ppo.batch_size == 0
+                         else 0)
         self._fused_eligible = (
             not self.multi
             and not cfg.render_mode
             and not cfg.ppo.measure_gradient_noise
-            and cfg.exp_buffer_size == cfg.ppo.batch_size
+            and 1 <= self._fused_K <= 8
             and self.steps_per_iter * self.players_per_step
             == cfg.ppo.batch_size)
         if (not self._fused_eligible and not self.multi
                 and not cfg.render_mode
                 and cfg.ppo.measure_gradient_noise
-                and cfg.exp_buffer_size == cfg.ppo.batch_size
+                and 1 <= self._fused_K <= 8
                 and self.steps_per_iter * self.players_per_step
                 == cfg.ppo.batch_size):
             # The diagnostic needs per-minibatch gradients, which only the
@@ -234,6 +242,8 @@ class Learner:
                 path, "EXP_BUFFER",
                 {"data": self.exp_buffer.data,
                  "cur_size": jnp.int32(self.exp_buffer.cur_size)})
+        if self._fused_buffer:
+            ckpt.save_extra_tree(path, "FUSED_BUFFER", self._fused_buffer)
         print(f"Learner: Saved checkpoint to {path}")
 
     def load(self):
@@ -278,6 +288,13 @@ class Learner:
         if buf is not None:
             self.exp_buffer.data = buf["data"]
             self.exp_buffer.cur_size = int(buf["cur_size"])
+        if self._fused_K > 1:
+            from rlgymppo_cpp_tpu.learn.train_step import init_fused_buffer
+            template = init_fused_buffer(
+                self._fused_K, cfg.ppo.batch_size, self.obs_size)
+            fbuf = ckpt.load_extra_tree(path, "FUSED_BUFFER", template)
+            if fbuf is not None:
+                self._fused_buffer = fbuf
         self._last_save_ts = self.total_timesteps
 
     # -------------------------------------------------------------- pipeline
@@ -368,6 +385,23 @@ class Learner:
 
     # ------------------------------------------------------------ fused path
 
+    def _fused_warm(self):
+        """K > 1 fused needs the K-1 previous batches. The eager path runs
+        the warmup iterations (reference semantics: batches over the
+        partially-filled buffer, ExperienceBuffer.cpp); once the host
+        buffer holds K-1 batches they seed the on-device fused buffer."""
+        if self._fused_K <= 1 or self._fused_buffer is not None:
+            return True
+        need = (self._fused_K - 1) * self.config.ppo.batch_size
+        if self.exp_buffer.cur_size < need:
+            return False
+        data = self.exp_buffer.data
+        end = self.exp_buffer.cur_size
+        self._fused_buffer = {
+            k: jnp.asarray(data[k][end - need:end]) for k in
+            ("states", "actions", "log_probs", "values", "advantages")}
+        return True
+
     def _iterate_fused(self, report: Report):
         """One iteration through the fused single-program train step.
         Returns the number of player-steps collected."""
@@ -378,13 +412,15 @@ class Learner:
                 self.gym, self.ppo, cfg, self.steps_per_iter,
                 deterministic=cfg.deterministic,
                 step_metrics_fn=self.step_metrics_fn,
-                paranoid=cfg.paranoid)
+                paranoid=cfg.paranoid, buffer_mult=self._fused_K)
+        if self._fused_buffer is None:
+            self._fused_buffer = {}   # K == 1: no carried batches
         self.key, sub = jax.random.split(self.key)
         (self.train_state, self._gym_state, self._obs, self.return_stats,
-         metrics) = self._train_step(
+         self._fused_buffer, metrics) = self._train_step(
             self.train_state, self._gym_state, self._obs,
-            self.return_stats, sub)
-        self.ppo.cumulative_model_updates += cfg.ppo.epochs
+            self.return_stats, self._fused_buffer, sub)
+        self.ppo.cumulative_model_updates += cfg.ppo.epochs * self._fused_K
 
         m = {k: float(v) for k, v in jax.device_get(metrics).items()}
         if cfg.paranoid and m.pop("paranoid_ok", 1.0) != 1.0:
@@ -483,7 +519,7 @@ class Learner:
             report = Report()
             iter_timer = Timer()
 
-            if self._fused_eligible:
+            if self._fused_eligible and self._fused_warm():
                 ts_collected = self._iterate_fused(report)
                 self.total_timesteps += ts_collected
                 self.total_epochs += cfg.ppo.epochs

@@ -27,18 +27,27 @@ from rlgymppo_cpp_tpu.ops.welford import welford_std, welford_update_batch
 
 
 def make_train_step(gym, ppo, cfg, horizon, deterministic=False,
-                    step_metrics_fn=None, paranoid=False):
+                    step_metrics_fn=None, paranoid=False, buffer_mult=1):
     """Build the fused step.
 
     Returns a jitted fn:
-      (train_state, gym_state, obs, return_stats, key)
-        -> (train_state', gym_state', obs', return_stats', metrics)
+      (train_state, gym_state, obs, return_stats, buffer, key)
+        -> (train_state', gym_state', obs', return_stats', buffer', metrics)
 
     `horizon` is the number of env-steps collected per call; the PPO batch
     is the whole window (T * N * P rows). metrics is a dict of device
     scalars: PPO stats (entropy/kl/ratio/value_loss/clip_fraction/
     policy_update_mag/value_update_mag), GAE stats (avg_return/
     avg_advantage/avg_val_target), and the collector metrics.
+
+    `buffer_mult` = exp_buffer_size / batch_size (examplemain.cpp:119 uses
+    3). With K = buffer_mult > 1 the program carries the K-1 previous
+    batches as an on-device experience buffer: each call shuffles the full
+    K-batch window and runs K optimizer steps (one per batch of
+    `batch_size`, gradients accumulated over minibatches within a batch),
+    exactly the reference's GetAllBatchesShuffled loop
+    (PPOLearner.cpp:103-299 + ExperienceBuffer.cpp). With K == 1 `buffer`
+    is an empty dict and a single step consumes the fresh window.
     """
     collector = RolloutCollector(gym, ppo.policy, deterministic=deterministic,
                                  step_metrics_fn=step_metrics_fn,
@@ -51,8 +60,10 @@ def make_train_step(gym, ppo, cfg, horizon, deterministic=False,
             f"fused train step needs ppo.batch_size == T*N*P ({total}), "
             f"got {ppo_cfg.batch_size}")
 
+    K = int(buffer_mult)
+
     @jax.jit
-    def train_step(train_state, gym_state, obs, return_stats, key):
+    def train_step(train_state, gym_state, obs, return_stats, buffer, key):
         k_col, k_shuf = jax.random.split(key)
         rollout_params = train_state["policy"]
         if ppo_cfg.bf16_inference:
@@ -97,21 +108,45 @@ def make_train_step(gym, ppo, cfg, horizon, deterministic=False,
         policy_before = train_state["policy"]
         critic_before = train_state["value"]
 
-        # One optimizer step per batch and one batch per epoch: a row
-        # shuffle cannot change the update when mini_batch == batch
-        # (gradients sum over the whole batch); shuffle only when real
-        # minibatching makes order matter.
-        shuffle = ppo_cfg.mini_batch_size not in (0, ppo_cfg.batch_size)
+        if K > 1:
+            # window = K-1 buffered batches (oldest first) + fresh batch
+            window = jax.tree.map(
+                lambda old, new: jnp.concatenate([old, new], axis=0),
+                buffer, batch)
+            new_buffer = jax.tree.map(lambda x: x[total:], window)
+        else:
+            window = batch
+            new_buffer = buffer
+
+        # One optimizer step per batch (PPOLearner.cpp:286-288). A row
+        # shuffle cannot change a single accumulated whole-window update
+        # (K == 1 and mini_batch == batch); with K > 1 batches the shuffle
+        # decides which rows share an optimizer step, so it is always on
+        # (GetAllBatchesShuffled, ExperienceBuffer.cpp).
+        shuffle = K > 1 or ppo_cfg.mini_batch_size not in (
+            0, ppo_cfg.batch_size)
 
         def epoch_body(carry, _):
             ts, k = carry
             if shuffle:
                 k, sub = jax.random.split(k)
-                perm = jax.random.permutation(sub, total)
-                b = jax.tree.map(lambda x: x[perm], batch)
+                perm = jax.random.permutation(sub, K * total)
+                w = jax.tree.map(lambda x: x[perm], window)
             else:
-                b = batch
-            ts, m = ppo._train_batch(ts, b)
+                w = window
+
+            if K > 1:
+                batches = jax.tree.map(
+                    lambda x: x.reshape(K, total, *x.shape[1:]), w)
+
+                def batch_body(ts, b):
+                    ts, m = ppo._train_batch(ts, b)
+                    return ts, m
+
+                ts, m = jax.lax.scan(batch_body, ts, batches)
+                m = jax.tree.map(lambda x: jnp.mean(x, axis=0), m)
+            else:
+                ts, m = ppo._train_batch(ts, w)
             return (ts, k), m
 
         (train_state, _), ms = jax.lax.scan(
@@ -126,6 +161,22 @@ def make_train_step(gym, ppo, cfg, horizon, deterministic=False,
         metrics["avg_advantage"] = jnp.mean(jnp.abs(advantages))
         metrics["avg_val_target"] = jnp.mean(jnp.abs(value_targets))
         metrics.update(col_metrics)
-        return train_state, gym_state, last_obs, return_stats, metrics
+        return (train_state, gym_state, last_obs, return_stats, new_buffer,
+                metrics)
 
     return train_step
+
+
+def init_fused_buffer(buffer_mult, batch_rows, obs_size):
+    """Zero-filled on-device buffer for the K-1 carried batches. Callers
+    warm it up with real experience (Learner runs the eager path for the
+    first K-1 iterations, matching the reference's partially-filled
+    ExperienceBuffer) before switching to the fused step."""
+    rows = (buffer_mult - 1) * batch_rows
+    return {
+        "states": jnp.zeros((rows, obs_size), jnp.float32),
+        "actions": jnp.zeros((rows,), jnp.int32),
+        "log_probs": jnp.zeros((rows,), jnp.float32),
+        "values": jnp.zeros((rows,), jnp.float32),
+        "advantages": jnp.zeros((rows,), jnp.float32),
+    }

@@ -53,8 +53,8 @@ def run_one_fused_step():
 
     step = make_train_step(gym, ppo, cfg, T)
     with mesh:
-        train_state, gym_state, obs, return_stats, metrics = step(
-            train_state, gym_state, obs, return_stats,
+        train_state, gym_state, obs, return_stats, _, metrics = step(
+            train_state, gym_state, obs, return_stats, {},
             jax.random.PRNGKey(2))
         entropy = float(metrics["entropy"])
 

@@ -232,8 +232,46 @@ def test_fused_learner_path(tmp_path):
 
 
 def test_fused_ineligible_configs():
-    """Buffer bigger than batch (replay across iterations) must keep the
-    eager 3-phase path."""
+    """A buffer that is NOT an integer multiple of the batch cannot run
+    fused (the on-device window carries whole batches only); an integer
+    multiple (examplemain.cpp:119 uses 3x) fuses with the window carried
+    on device."""
+    from rlgymppo_cpp_tpu.gym import (
+        Gym, Match, DiscreteAction, DefaultOBS, CombinedReward,
+        VelocityPlayerToBallReward, NoTouchCondition, RandomState,
+    )
+    from rlgymppo_cpp_tpu.learn import Learner, LearnerConfig, PPOLearnerConfig
+
+    match = Match(
+        reward_fn=CombinedReward([(VelocityPlayerToBallReward(), 1.0)]),
+        terminal_conditions=[NoTouchCondition(50)],
+        obs_builder=DefaultOBS(),
+        action_parser=DiscreteAction(),
+        state_setter=RandomState(True, True, True),
+        team_size=1, spawn_opponents=False,
+    )
+    gym = Gym(match, num_envs=8, tick_skip=8)
+
+    def make_cfg(buf):
+        return LearnerConfig(
+            num_envs=8, timesteps_per_iteration=128, exp_buffer_size=buf,
+            ppo=PPOLearnerConfig(batch_size=128, mini_batch_size=64,
+                                 epochs=1, policy_layer_sizes=(32,),
+                                 critic_layer_sizes=(32,)),
+            checkpoint_load_folder=None, send_metrics=False,
+        )
+
+    assert not Learner(gym, make_cfg(300))._fused_eligible
+    learner = Learner(gym, make_cfg(256))
+    assert learner._fused_eligible and learner._fused_K == 2
+
+
+def test_fused_buffered_window_learns():
+    """K=3 window economics through the fused path: the first K-1
+    iterations warm up eagerly (partial-buffer batches, reference
+    ExperienceBuffer semantics), then the fused program carries the
+    window and runs K optimizer steps per iteration — KL becomes nonzero
+    from the 2nd batch on (PPOLearner.cpp:183-198 dynamics)."""
     from rlgymppo_cpp_tpu.gym import (
         Gym, Match, DiscreteAction, DefaultOBS, CombinedReward,
         VelocityPlayerToBallReward, NoTouchCondition, RandomState,
@@ -250,14 +288,29 @@ def test_fused_ineligible_configs():
     )
     gym = Gym(match, num_envs=8, tick_skip=8)
     cfg = LearnerConfig(
-        num_envs=8, timesteps_per_iteration=128, exp_buffer_size=256,
+        num_envs=8, timesteps_per_iteration=128, exp_buffer_size=384,
         ppo=PPOLearnerConfig(batch_size=128, mini_batch_size=64, epochs=1,
                              policy_layer_sizes=(32,),
                              critic_layer_sizes=(32,)),
         checkpoint_load_folder=None, send_metrics=False,
     )
     learner = Learner(gym, cfg)
-    assert not learner._fused_eligible
+    assert learner._fused_eligible and learner._fused_K == 3
+
+    kls = []
+    updates_before = []
+    learner.iteration_callback = lambda lrn, rep: (
+        kls.append(rep["Mean KL Divergence"]),
+        updates_before.append(rep["Cumulative Model Updates"]))
+    learner.learn(iterations=5)
+
+    # warmup: 1 + 2 eager batch updates; fused: 3 per iteration after
+    assert updates_before == [1, 3, 6, 9, 12]
+    assert learner._fused_buffer is not None and \
+        learner._fused_buffer["states"].shape[0] == 2 * 128
+    # multi-batch steps make the reported KL nonzero (later batches are
+    # evaluated after earlier optimizer steps moved the params)
+    assert any(abs(k) > 0 for k in kls[2:])
 
 
 def test_deterministic_resume(tmp_path):

@@ -84,9 +84,9 @@ def test_sharded_train_step_matches_single_device():
     # single (CPU) device — same platform as the sharded run so float
     # results are comparable
     one = jax.sharding.SingleDeviceSharding(cpu[0])
-    ts1, _, _, _, m1 = step(
+    ts1, _, _, _, _, m1 = step(
         jax.device_put(train_state, one), jax.device_put(gym_state, one),
-        jax.device_put(obs, one), jax.device_put(rs, one), k_step)
+        jax.device_put(obs, one), jax.device_put(rs, one), {}, k_step)
 
     # 8-device mesh
     mesh = make_mesh(cpu[:8], model_parallel=2)
@@ -95,7 +95,8 @@ def test_sharded_train_step_matches_single_device():
         gs_sh = shard_env_tree(gym_state, mesh)
         obs_sh = shard_env_tree(obs, mesh)
         rs_sh = jax.device_put(rs, replicated(mesh))
-        ts2, _, _, _, m2 = step(ts_sh, gs_sh, obs_sh, rs_sh, k_step)
+        ts2, _, _, _, _, m2 = step(ts_sh, gs_sh, obs_sh, rs_sh, {},
+                                   k_step)
 
     for a, b in zip(jax.tree.leaves(ts1["policy"]),
                     jax.tree.leaves(ts2["policy"])):
