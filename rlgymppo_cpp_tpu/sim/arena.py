@@ -340,8 +340,9 @@ class Arena:
                 self.hitbox_half_t, self.hitbox_offset_t, dt, active,
                 core.tick_count)
 
-        bw_dvel, bw_dang, bw_hit, bw_normal = core_ball.ball_world_contact(
-            ball, geom, mut, dt, sleeping, self.game_mode)
+        bw_dvel, bw_dang, bw_dpos, bw_hit, bw_normal = \
+            core_ball.ball_world_contact(
+                ball, geom, mut, dt, sleeping, self.game_mode)
         ball, bw_cache = core_ball.ball_on_world_collision(
             ball, bw_normal, bw_hit, self.game_mode, dt)
 
@@ -400,7 +401,7 @@ class Arena:
             rot=mwhere(active, new_rot, cars.rot))
         ball = ball.replace(
             pos=vwhere(sleeping, ball.pos,
-                       ball.pos + ball.vel * dt + cb_ball_dpos))
+                       ball.pos + ball.vel * dt + cb_ball_dpos + bw_dpos))
         if self.game_mode == GameMode.SNOWDAY:
             # The puck is the one ball shape whose orientation matters
             # (m_noRot only applies to spheres, Ball.cpp:107): integrate

@@ -85,9 +85,11 @@ def ball_pre_tick(ball, game_mode, dt):
 
 def ball_world_contact(ball, geom, mut, dt, sleeping,
                        game_mode=C.GameMode.SOCCAR):
-    """Averaged ball-world contact. Returns (dvel, dang, hit, normal).
+    """Ball-world contact. Returns (dvel, dang, dpos, hit, normal).
 
-    Snowday routes to the cylinder puck shape (puck_world_contact)."""
+    Non-snowday balls get the averaged "special" contact (no positional
+    correction, dpos = 0); Snowday routes to the regular-solver 20-gon
+    puck manifold (puck_world_contact)."""
     if game_mode == C.GameMode.SNOWDAY:
         return puck_world_contact(ball, geom, mut, dt, sleeping)
     radius = mut.ball_radius + BALL_CONTACT_MARGIN
@@ -109,7 +111,7 @@ def ball_world_contact(ball, geom, mut, dt, sleeping,
         use_position_bias=False)
     zero = V3.of(0.0, 0.0, 0.0)
     return vwhere(in_contact, dvel, zero), vwhere(in_contact, dang, zero), \
-        in_contact, normal
+        zero, in_contact, normal
 
 
 def puck_inv_inertia_diag(mut):
@@ -125,51 +127,90 @@ def puck_inv_inertia_diag(mut):
     return (1.0 / ixx, 1.0 / ixx, 1.0 / izz)
 
 
-def puck_world_contact(ball, geom, mut, dt, sleeping):
-    """Snowday puck vs world: the reference's puck is a 20-gon cylinder
-    convex hull (Ball.cpp:51-81; radius/height/mass/friction/restitution
-    from RLConst::Snowday). Here the cylinder's support point against the
-    deepest world plane is computed analytically: support distance along
-    the contact normal n with axis a is r*|n_perp| + (h/2)*|n.a|, contact
-    offset -(r*u_hat + (h/2)*sign(n.a)*a). Single-point impulse with the
-    cylinder's rotated inertia tensor replaces bullet's hull manifold —
-    rim contact, flat rest at h/2, edge bounces and spin coupling all
-    follow from the same formula.
-    """
+def puck_hull_verts_near(ball, mut, toward: V3):
+    """World positions of the 20-gon hull vertices nearest a world-space
+    direction `toward` (center -> wall): the vertex whose body-frame angle
+    snaps to the direction's angle, its two ring neighbors on the same
+    (near) face, and the same-angle vertex of the far face. The hull is
+    40 points at angles k*18 deg, z=+-h/2 (MakeBallCollisionShape,
+    Ball.cpp:56-71), and the phase is known exactly because the puck's
+    full rotation is tracked. Returns a list of 4 V3 world points."""
     r = mut.ball_radius
     hh = C.Snowday.PUCK_HEIGHT / 2.0
-
-    # nearest world plane at the center (probe radius 0: depth = -distance)
-    depth_c, normal = geom.sphere_contact_core(ball.pos, 0.0)
-    dist = -depth_c
-
-    axis = ball.rot.u                      # cylinder axis (body z)
-    c = normal.dot(axis)
-    n_perp = normal - axis * c
-    s = n_perp.norm()
-    u_hat = n_perp / jnp.maximum(s, 1e-6)
-    support = r * s + hh * jnp.abs(c)
-    depth = (support + BALL_CONTACT_MARGIN) - dist
-    in_contact = (depth > 0.0) & ~sleeping
-
+    axis = ball.rot.u                      # body z
+    c = toward.dot(axis)
     sign_c = jnp.where(c >= 0, 1.0, -1.0)
-    rel_pos = u_hat * (-r * jnp.minimum(s * 1e6, 1.0)) \
-        + axis * (-hh * sign_c)
+    # body-frame ring angle of the radial part of `toward`
+    bx = toward.dot(ball.rot.f)
+    by = toward.dot(ball.rot.r)
+    step = 2.0 * jnp.pi / C.Snowday.PUCK_CIRCLE_POINT_AMOUNT
+    phi = fastmath.atan2(by, bx)
+    k0 = jnp.round(phi / step)
+    pts = []
+    for dk, far in ((-1.0, False), (0.0, False), (1.0, False), (0.0, True)):
+        ang = (k0 + dk) * step
+        z = hh * (-sign_c if not far else sign_c)
+        local = V3(r * jnp.cos(ang), r * jnp.sin(ang),
+                   jnp.broadcast_to(z, ang.shape))
+        pts.append(ball.pos + ball.rot.mv(local))
+    return pts
+
+
+def puck_world_contact(ball, geom, mut, dt, sleeping):
+    """Snowday puck vs world. The reference's puck is a 20-gon cylinder
+    convex hull (Ball.cpp:51-81), and — unlike every other ball — its
+    world contacts are NOT marked "special" (Arena.cpp:270-272 skips the
+    m_isSpecial flag in SNOWDAY), so bullet resolves the full manifold
+    with the regular sequential-impulse solver + split-impulse positional
+    recovery. Modeled here exactly like car-world contacts
+    (core_collisions.car_world_contacts): one sequential impulse per
+    manifold vertex, positional push-out from the deepest point.
+
+    The manifold points are the hull's own vertices nearest the wall
+    (exact, since the puck's rotation is tracked): snapped ring vertex +
+    its two ring neighbors on the near face + the same-angle far-face
+    vertex — flat rest engages the near ring (bullet's 4-point persistent
+    face manifold), side-lying the near/far pair (contact line), tilted
+    contact the single deepest vertex.
+
+    Returns (dvel, dang, dpos, hit, normal) — dpos is the split-impulse
+    push-out (soccar/heatseeker special contacts have none by design).
+    """
+    # direction toward the wall from the center sample
+    _, normal_c = geom.sphere_contact_core(ball.pos, 0.0)
+    pts = puck_hull_verts_near(ball, mut, normal_c * -1.0)
 
     inv_mass = 1.0 / mut.ball_mass
     ii_apply = rb.make_box_ii(ball.rot, puck_inv_inertia_diag(mut))
-
     friction = min(mut.ball_world_friction, C.ARENA_COLLISION_FRICTION)
     restitution = max(mut.ball_world_restitution,
                       C.ARENA_COLLISION_RESTITUTION)
 
-    dvel, dang, _ = rb.contact_impulse_static(
-        ball.vel, ball.ang_vel, inv_mass, ii_apply,
-        rel_pos, normal, depth, restitution, friction, dt,
-        use_position_bias=False)
     zero = V3.of(0.0, 0.0, 0.0)
-    return vwhere(in_contact, dvel, zero), vwhere(in_contact, dang, zero), \
-        in_contact, normal
+    vel, ang_vel = ball.vel, ball.ang_vel
+    hit = jnp.zeros(sleeping.shape, bool)
+    best_depth = jnp.full(sleeping.shape, -jnp.inf)
+    normal = V3.zeros(sleeping.shape)
+    for p in pts:
+        d_i, n_i = geom.sphere_contact_core(p, BALL_CONTACT_MARGIN)
+        pen = (d_i > 0.0) & ~sleeping
+        dvel, dang, _ = rb.contact_impulse_static(
+            vel, ang_vel, inv_mass, ii_apply,
+            p - ball.pos, n_i, d_i, restitution, friction, dt,
+            use_position_bias=False)
+        vel = vel + vwhere(pen, dvel, zero)
+        ang_vel = ang_vel + vwhere(pen, dang, zero)
+        hit = hit | pen
+        deeper = pen & (d_i > best_depth)
+        best_depth = jnp.where(deeper, d_i, best_depth)
+        normal = vwhere(deeper, n_i, normal)
+
+    # split impulse: m_erp2 = 0.8, linearSlop 0 (bullet default — the
+    # reference puck rests with its low vertices exactly at margin
+    # height, recorder trace rest z = 33.15 = h/2 + margin)
+    push = 0.8 * jnp.maximum(best_depth, 0.0)
+    dpos = vwhere(hit, normal * push, zero)
+    return vel - ball.vel, ang_vel - ball.ang_vel, dpos, hit, normal
 
 
 def ball_on_world_collision(ball, normal, hit, game_mode, dt):

@@ -142,56 +142,160 @@ def car_ball_contacts(cars, ball, mut, geom_mode, ii_diag, half_extents,
     ball_pos = ball.pos                        # V3 [N] -> bcast vs [P, N]
     if geom_mode == C.GameMode.SNOWDAY:
         # Puck vs car box: the reference collides the 20-gon cylinder
-        # hull against the hitbox (Ball.cpp:51-81). Support-point
-        # approximation: find the box point closest to the puck CENTER,
-        # take the puck's surface support point toward it
-        # (r along the radial component + h/2 along the axis), and
-        # contact that point against the box with a small margin — so a
-        # car meets the flat 31-uu-thin puck at its actual surface
-        # instead of an R=114 sphere.
+        # hull against the hitbox with bullet's convex-convex manifold
+        # (Ball.cpp:51-81). Deepest-feature test both ways, exactly the
+        # two feature classes a GJK/EPA pair query can return here:
+        #   (a) hull vertex inside the (margin-inflated) box — all 40
+        #       20-gon vertices tested, phase exact from the tracked rot;
+        #   (b) box corner inside the (margin-inflated) cylinder.
+        # The deeper of the two wins the single solver point.
         from rlgymppo_cpp_tpu.sim.core_ball import puck_inv_inertia_diag
-        _, n0, _ = _sphere_obb(
-            ball_pos, cars.pos, cars.rot, half, offset, 0.0)
-        d = n0 * -1.0                          # puck center -> box
-        axis = ball.rot.u
-        c_ax = d.dot(axis)
-        n_perp = d - axis * c_ax
-        s_len = n_perp.norm()
-        u_hat = n_perp / jnp.maximum(s_len, 1e-6)
+        import numpy as np
+        r_puck = mut.ball_radius
         hh = C.Snowday.PUCK_HEIGHT / 2.0
-        sign_ax = jnp.where(c_ax >= 0, 1.0, -1.0)
-        support = ball_pos \
-            + u_hat * (mut.ball_radius * jnp.minimum(s_len * 1e6, 1.0)) \
-            + axis * (hh * sign_ax)
-        PUCK_SUPPORT_MARGIN = 6.0
-        contact, normal, depth = _sphere_obb(
-            support, cars.pos, cars.rot, half, offset,
-            PUCK_SUPPORT_MARGIN)
+        # Onset calibration vs bullet's GJK pair (box core = half - 2,
+        # hull core = points): contact exists when core distance <
+        # marginA + marginB + breaking threshold = 2 + 2 + 1. With the
+        # box already inflated by BOX_MARGIN (+2), the hull side needs
+        # +3 more than its own 2 uu margin to fire on the same tick as
+        # the recorder (head-on hit at 1364 uu/s = 11.4 uu/tick).
+        HULL_MARGIN = 5.0
+
+        # (a) 40 hull vertices vs box: verts [40,1,1] -> world [40,1|P,N]
+        n_ring = C.Snowday.PUCK_CIRCLE_POINT_AMOUNT
+        ang = np.arange(n_ring) * (2.0 * np.pi / n_ring)
+        vx = np.repeat(np.cos(ang) * 1.0, 2)
+        vy = np.repeat(np.sin(ang) * 1.0, 2)
+        vz = np.tile([1.0, -1.0], n_ring)
+        vlocal = V3(jnp.asarray(vx, jnp.float32).reshape(-1, 1, 1) * r_puck,
+                    jnp.asarray(vy, jnp.float32).reshape(-1, 1, 1) * r_puck,
+                    jnp.asarray(vz, jnp.float32).reshape(-1, 1, 1) * hh)
+        verts_w = ball_pos + ball.rot.mv(vlocal)       # [40, 1, N]
+        contact_a, normal_a, depth_a = _sphere_obb(
+            verts_w, cars.pos, cars.rot, half, offset, HULL_MARGIN)
+        ia = jnp.argmax(depth_a, axis=0)               # [P, N]
+        depth_va = jnp.take_along_axis(depth_a, ia[None], axis=0)[0]
+        contact_va = _v3_take0(contact_a, ia)
+        normal_va = _v3_take0(normal_a, ia)
+
+        # (b) 8 box corners vs cylinder (corner in puck body frame)
+        corners = hitbox_corners(cars.pos, cars.rot, half, offset)
+        local_c = ball.rot.tmv(corners - ball_pos)     # [8, P, N]
+        rho = jnp.sqrt(jnp.maximum(
+            local_c.x ** 2 + local_c.y ** 2, 1e-12))
+        d_side = (r_puck + HULL_MARGIN) - rho
+        d_face = (hh + HULL_MARGIN) - jnp.abs(local_c.z)
+        depth_b = jnp.minimum(d_side, d_face)          # >0 <=> inside
+        rho_dir = ball.rot.mv(V3(local_c.x / rho, local_c.y / rho,
+                                 jnp.zeros_like(rho)))
+        axis_w = ball.rot.u
+        sign_z = jnp.where(local_c.z >= 0, 1.0, -1.0)
+        n_side = rho_dir * -1.0                        # ball moves inward
+        n_face = axis_w * -sign_z
+        normal_b = vwhere(d_side < d_face, n_side, n_face)
+
+        def v3_at(v, i):
+            return V3(v.x[i], v.y[i], v.z[i])
+
+        # (c) cylinder SIDE vs box face/edge — the dominant car-puck
+        # feature (a hitbox meets the tall flat puck side-on with its
+        # front face EDGE, which neither hull vertices nor box corners
+        # catch: the verts pass above/below the box, the corners outside
+        # the circle). Closest point Q of the box to the puck's axis
+        # segment, sampled at 7 axial stations; contact when
+        # |Q - axis point| < r + margin, normal = Q -> axis.
+        side_cands = []
+        for frac in (-1.0, -2.0 / 3, -1.0 / 3, 0.0, 1.0 / 3, 2.0 / 3, 1.0):
+            ax_pt = ball_pos + axis_w * (hh * frac)
+            q, _, qdepth = _sphere_obb(
+                ax_pt, cars.pos, cars.rot, half, offset, 0.0)
+            # qdepth = -(distance from ax_pt to box surface); penetrating
+            # axis points (qdepth > 0) mean deep overlap — the radial
+            # formula still holds with Q the nearest surface point
+            dvec = ax_pt - q
+            dlen = dvec.norm()
+            sep = jnp.where(qdepth > 0.0, -dlen, dlen)
+            d_c = (r_puck + HULL_MARGIN) - sep
+            n_c = dvec / jnp.maximum(dlen, 1e-6)
+            n_c = vwhere(qdepth > 0.0, n_c * -1.0, n_c)
+            # only valid while Q is radially beside the cylinder, not
+            # past its flat faces: the axial offset of Q must be within
+            # the sampled station's face bounds
+            z_q = (q - ball_pos).dot(axis_w)
+            valid = jnp.abs(z_q) <= hh + 1e-3
+            d_c = jnp.where(valid, d_c, -1.0)
+            side_cands.append((q, n_c, d_c))
+
+        # Single deepest feature across all three classes: bullet's GJK
+        # pair query returns ONE closest-point pair per narrowphase
+        # update, and the recorded head-on hit shows the solver resolving
+        # essentially that one point (car impulse ~90% of the single-
+        # point full stop; a multi-point manifold here over-resolves to
+        # the common velocity, +20% puck speed vs the trace).
+        all_c = [(contact_va, normal_va, depth_va)] + [
+            (v3_at(corners, i), v3_at(normal_b, i), depth_b[i])
+            for i in range(8)] + side_cands
+        d_stack = jnp.stack([d for _, _, d in all_c])
+        ic = jnp.argmax(d_stack, axis=0)
+        c_stack = V3(jnp.stack([c.x for c, _, _ in all_c]),
+                     jnp.stack([c.y for c, _, _ in all_c]),
+                     jnp.stack([c.z for c, _, _ in all_c]))
+        n_stack = V3(jnp.stack([n.x for _, n, _ in all_c]),
+                     jnp.stack([n.y for _, n, _ in all_c]),
+                     jnp.stack([n.z for _, n, _ in all_c]))
+        cands = [(_v3_take0(c_stack, ic), _v3_take0(n_stack, ic),
+                  jnp.take_along_axis(d_stack, ic[None], axis=0)[0])]
         ii_ball = rb.make_box_ii(ball.rot, puck_inv_inertia_diag(mut))
     else:
-        contact, normal, depth = _sphere_obb(
-            ball_pos, cars.pos, cars.rot, half, offset, mut.ball_radius)
+        cands = [_sphere_obb(
+            ball_pos, cars.pos, cars.rot, half, offset, mut.ball_radius)]
         ii_ball = rb.make_sphere_ii(
             rb.sphere_inv_inertia_scalar(mut.ball_mass, mut.ball_radius))
-    hit = (depth > 0.0) & active
 
     inv_mass_car = 1.0 / mut.car_mass
     inv_mass_ball = 1.0 / mut.ball_mass
     ii_car = rb.make_box_ii(cars.rot, ii_diag)
-
-    rel_car = contact - cars.pos
-    rel_ball = contact - ball_pos
-
-    dvel_b, dang_b, dvel_c, dang_c, _ = rb.contact_impulse_pair(
-        ball.vel, ball.ang_vel, inv_mass_ball, ii_ball, rel_ball,
-        cars.vel, cars.ang_vel, inv_mass_car, ii_car, rel_car,
-        normal, depth, C.CARBALL_COLLISION_RESTITUTION,
-        C.CARBALL_COLLISION_FRICTION, dt)
     zero = V3.of(0.0, 0.0, 0.0)
-    car_dvel = vwhere(hit, dvel_c, zero)
-    car_dang = vwhere(hit, dang_c, zero)
-    ball_dvel = vwhere(hit, dvel_b, zero).sum(axis=0)
-    ball_dang = vwhere(hit, dang_b, zero).sum(axis=0)
+
+    # Sequential impulses over the manifold points (per car-ball pair),
+    # iterated a few passes: bullet's solver runs 10 iterations over the
+    # persistent manifold and fully stops the approach velocity at every
+    # point in ONE tick; a single pass under-resolves off-center contacts
+    # (the rotational terms in the denominator eat part of the impulse and
+    # the recorded head-on hit took 3 ticks to transfer what the reference
+    # moved in one). Impulses are clamped >= 0 per pass, so iterating is
+    # monotone and converges to the same full-stop fixed point. The
+    # deepest point carries the split-impulse push-out + BallHitInfo.
+    vel_b, ang_b = ball.vel, ball.ang_vel       # [N] -> [P, N] on first add
+    vel_c, ang_c = cars.vel, cars.ang_vel
+    hit = jnp.zeros(active.shape, bool)
+    best_depth = jnp.full(active.shape, -jnp.inf)
+    contact = V3.zeros(active.shape)
+    normal = V3.zeros(active.shape)
+    SOLVER_PASSES = 1
+    for _ in range(SOLVER_PASSES):
+        for ct, n, d in cands:
+            pen = (d > 0.0) & active
+            dvel_b, dang_b, dvel_c, dang_c, _ = rb.contact_impulse_pair(
+                vel_b, ang_b, inv_mass_ball, ii_ball, ct - ball_pos,
+                vel_c, ang_c, inv_mass_car, ii_car, ct - cars.pos,
+                n, d, C.CARBALL_COLLISION_RESTITUTION,
+                C.CARBALL_COLLISION_FRICTION, dt)
+            vel_b = vel_b + vwhere(pen, dvel_b, zero)
+            ang_b = ang_b + vwhere(pen, dang_b, zero)
+            vel_c = vel_c + vwhere(pen, dvel_c, zero)
+            ang_c = ang_c + vwhere(pen, dang_c, zero)
+            hit = hit | pen
+            deeper = pen & (d > best_depth)
+            best_depth = jnp.where(deeper, d, best_depth)
+            contact = vwhere(deeper, ct, contact)
+            normal = vwhere(deeper, n, normal)
+    depth = best_depth
+
+    car_dvel = vel_c - cars.vel
+    car_dang = ang_c - cars.ang_vel
+    ball_dvel = (vel_b - ball.vel).sum(axis=0)
+    ball_dang = (ang_b - ball.ang_vel).sum(axis=0)
     # split-impulse positional separation: the (much lighter) ball takes
     # the push-out, along the contact normal (car->ball)
     push = SPLIT_IMPULSE_ERP * jnp.maximum(depth - PENETRATION_SLOP, 0.0)

@@ -88,10 +88,14 @@ class MeshGeom:
     """Distance-grid world. Static arrays; hashable by id; jit-friendly."""
 
     # Suspension rays are short (<~70 uu) and the field is locally
-    # near-linear, so sphere tracing converges geometrically; 6 steps is
-    # within a fraction of a uu of the 12-step answer at half the gathers
-    # (gathers are the mesh world's whole cost on TPU).
-    RAY_STEPS = 6
+    # near-linear, so sphere tracing converges geometrically on flat
+    # ground in 1-2 steps; rays grazing inclined surfaces (ramp climbs)
+    # converge by only sin(grazing angle) per step and need the extra
+    # iterations — 3 steps broke the mesh_*_drive goldens, 4 passes.
+    # The marching steps read only the distance (one 8-wide row gather,
+    # _dist_only), not the normal: gathers are the mesh world's whole
+    # cost on TPU, so the march costs half a full sample per step.
+    RAY_STEPS = 4
 
     def __init__(self, dist, dirs, bounds_min, cell,
                  net_dist=None, net_dirs=None):
@@ -200,19 +204,41 @@ class MeshGeom:
                       jnp.asarray([0.0, 0.0, 1.0]))
         return d, n
 
-    def _sample(self, pos, for_car=False):
-        """Trilinear distance + contact normal at pos [..., 3].
-        Out-of-grid positions clamp to the border (distances there are
-        `band`, i.e. no contact)."""
+    def _grid_coords(self, pos):
         f = (pos - self.bounds_min) / self.cell
         f = jnp.clip(f, 0.0, jnp.asarray(
             [d - 1.001 for d in self.dims], jnp.float32))
         i0 = jnp.floor(f).astype(jnp.int32)
         t = f - i0
-        ni = jnp.round(f).astype(jnp.int32)
-
         cx, cy, cz = self._cdims
         flat_idx = (i0[..., 0] * cy + i0[..., 1]) * cz + i0[..., 2]
+        return f, flat_idx, t
+
+    def _dist_only(self, packed, flat_idx, t):
+        """Trilinear distance from one 8-wide corner-row gather — the
+        ray-marching fast path (no normal, no dirs gather)."""
+        c = jnp.take(packed, flat_idx, axis=0)
+        wx1, wy1, wz1 = t[..., 0], t[..., 1], t[..., 2]
+        wx0, wy0, wz0 = 1 - wx1, 1 - wy1, 1 - wz1
+        return (wx0 * (wy0 * (wz0 * c[..., 0] + wz1 * c[..., 1])
+                       + wy1 * (wz0 * c[..., 2] + wz1 * c[..., 3]))
+                + wx1 * (wy0 * (wz0 * c[..., 4] + wz1 * c[..., 5])
+                         + wy1 * (wz0 * c[..., 6] + wz1 * c[..., 7])))
+
+    def _sample_dist(self, pos, for_car=False):
+        f, flat_idx, t = self._grid_coords(pos)
+        d = self._dist_only(self._packed, flat_idx, t)
+        if self.has_net and not for_car:
+            d = jnp.minimum(d, self._dist_only(self._net_packed,
+                                               flat_idx, t))
+        return d
+
+    def _sample(self, pos, for_car=False):
+        """Trilinear distance + contact normal at pos [..., 3].
+        Out-of-grid positions clamp to the border (distances there are
+        `band`, i.e. no contact)."""
+        f, flat_idx, t = self._grid_coords(pos)
+        ni = jnp.round(f).astype(jnp.int32)
         d, n = self._field_eval(self._packed, self.dirs, flat_idx, ni, t)
 
         if self.has_net and not for_car:
@@ -255,7 +281,8 @@ class MeshGeom:
         for _ in range(self.RAY_STEPS):
             p = V3(start.x + direction.x * t, start.y + direction.y * t,
                    start.z + direction.z * t)
-            d, _ = self._sample_core(p, for_car)
+            d = self._sample_dist(
+                jnp.stack([p.x, p.y, p.z], axis=-1), for_car)
             t = jnp.minimum(t + jnp.maximum(d, 0.0), max_len)
         p = V3(start.x + direction.x * t, start.y + direction.y * t,
                start.z + direction.z * t)
@@ -271,7 +298,7 @@ class MeshGeom:
         t = jnp.zeros(start.shape[:-1], jnp.float32)
         for _ in range(self.RAY_STEPS):
             p = start + direction * t[..., None]
-            d, _ = self._sample(p, for_car)
+            d = self._sample_dist(p, for_car)
             t = jnp.minimum(t + jnp.maximum(d, 0.0), max_len)
         p = start + direction * t[..., None]
         d, n = self._sample(p, for_car)

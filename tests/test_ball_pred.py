@@ -12,6 +12,11 @@ from rlgymppo_cpp_tpu.sim.arena import Arena
 from rlgymppo_cpp_tpu.sim.ball_pred import BallPredTracker
 from rlgymppo_cpp_tpu.sim.state import CarControls
 
+# golden replays / multihost / learner e2e are the
+# acceptance bar but dominate wall time: slow-marked, run
+# with `pytest tests/ --runslow` (README "Testing")
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def arena():
