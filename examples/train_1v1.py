@@ -82,6 +82,9 @@ def main():
                          "(sim/hoops_mesh.py)")
     ap.add_argument("--log", default=None,
                     help="append one JSON line per iteration to this file")
+    ap.add_argument("--seed", type=int, default=123)
+    ap.add_argument("--checkpoints", default="checkpoints/train_1v1",
+                    help="checkpoint save/load folder")
     ap.add_argument("--fused", action="store_true",
                     help="reference-default economics (buffer == batch == "
                          "one iteration window) so the Learner takes the "
@@ -100,6 +103,7 @@ def main():
         # the 3-batch window on device (train_step.py buffer_mult)
         exp_buffer_size=ts_per_itr * 3,
         timestep_limit=args.timesteps,
+        random_seed=args.seed,
         ppo=PPOLearnerConfig(
             batch_size=ts_per_itr,
             mini_batch_size=25_000,
@@ -112,11 +116,13 @@ def main():
         ),
         send_metrics=not args.no_metrics,
         render_mode=args.render,
+        # kickoff-only eval + >=10M-step version gaps: see
+        # docs/ELO_DIAGNOSIS.md for why tighter settings flatline
         skill_tracker=SkillTrackerConfig(
-            enabled=args.skill_tracker, num_envs=64,
-            timesteps_per_version=5_000_000, max_versions=6),
-        checkpoint_save_folder="checkpoints/train_1v1",
-        checkpoint_load_folder="checkpoints/train_1v1",
+            enabled=args.skill_tracker, num_envs=128,
+            timesteps_per_version=10_000_000, max_versions=8),
+        checkpoint_save_folder=args.checkpoints,
+        checkpoint_load_folder=args.checkpoints,
     )
 
     if args.fused:
@@ -157,9 +163,10 @@ def main():
                     rec[k.lower().replace(" ", "_")] = round(
                         float(report[k]), 5)
             for k in report:
-                if k.startswith("Skill Rating"):
+                if k.startswith(("Skill Rating", "Skill Eval",
+                                 "Skill Pool")):
                     rec[k.lower().replace(" ", "_")] = round(
-                        float(report[k]), 2)
+                        float(report[k]), 3)
             log_f.write(json.dumps(rec) + "\n")
             log_f.flush()
             if lrn.total_timesteps % 2_000_000 < cfg.timesteps_per_iteration:

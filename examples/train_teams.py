@@ -109,13 +109,12 @@ def main():
             critic_layer_sizes=(256, 256, 256),
         ),
         send_metrics=False,
-        # Per-mode ELO vs a version window spanning the whole run: with a
-        # short window every opponent is recent and near-equal skill, so
-        # the rating plateaus even while the policy improves (the r2b
-        # flat-ELO run, docs/ELO_DIAGNOSIS.md).
+        # Kickoff-only eval (reference default) + versions >=10M apart:
+        # near-adjacent versions and random-state eval starts flatline the
+        # rating even while the policy improves (docs/ELO_DIAGNOSIS.md).
         skill_tracker=SkillTrackerConfig(
-            enabled=True, num_envs=64, update_interval=4,
-            timesteps_per_version=5_000_000, max_versions=16),
+            enabled=True, num_envs=128, update_interval=4,
+            timesteps_per_version=10_000_000, max_versions=8),
         checkpoint_save_folder=ckpt_dir,
         checkpoint_load_folder=ckpt_dir,
     )
@@ -138,8 +137,8 @@ def main():
             if k in report:
                 rec[k.lower().replace(" ", "_")] = round(float(report[k]), 5)
         for k in report:
-            if k.startswith("Skill Rating"):
-                rec[k.lower().replace(" ", "_")] = round(float(report[k]), 2)
+            if k.startswith(("Skill Rating", "Skill Eval", "Skill Pool")):
+                rec[k.lower().replace(" ", "_")] = round(float(report[k]), 3)
         if log_f:
             log_f.write(json.dumps(rec) + "\n")
             log_f.flush()

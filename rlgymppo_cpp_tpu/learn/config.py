@@ -45,7 +45,11 @@ class SkillTrackerConfig:
     rating_inc: float = 5.0           # ELO K-factor per goal
     initial_rating_carry: bool = True
     max_eval_seconds: float = 60.0
-    kickoff_only: bool = False
+    # Eval matches start from neutral kickoffs, not the training state
+    # setter — the reference's default (kickoffStatesOnly,
+    # SkillTrackerConfig.h:39-41). Random-state eval starts make goals a
+    # state lottery and flatline the rating (docs/ELO_DIAGNOSIS.md).
+    kickoff_only: bool = True
 
 
 @dataclasses.dataclass
@@ -88,6 +92,11 @@ class LearnerConfig:
     timesteps_per_save: int = 500_000
     random_seed: int = 123
     checkpoints_to_keep: int = 5
+    # Include the experience windows (EXP_BUFFER / FUSED_BUFFER) in every
+    # checkpoint for bit-exact deterministic resume. Off by default: they
+    # are hundreds of MB at reference shapes, and the reference's resume
+    # semantics (models + stats, envs restart) don't need them.
+    save_buffers: bool = False
 
     send_metrics: bool = True
     metrics_project_name: str = "rlgymppo-cpp-tpu"

@@ -237,13 +237,22 @@ class Learner:
         if self._gym_state is not None:
             ckpt.save_extra_tree(path, "ENV_STATE",
                                  (self._gym_state, self._obs))
-        if self.exp_buffer.cur_size > 0:
-            ckpt.save_extra_tree(
-                path, "EXP_BUFFER",
-                {"data": self.exp_buffer.data,
-                 "cur_size": jnp.int32(self.exp_buffer.cur_size)})
-        if self._fused_buffer:
-            ckpt.save_extra_tree(path, "FUSED_BUFFER", self._fused_buffer)
+        # The experience windows are by far the heaviest payload (hundreds
+        # of MB at reference shapes — the reference's checkpoints carry
+        # models + stats only and cost ~2 MB, LearnerConfig.h:67 keeps the
+        # same 500k cadence). Saving them every 500k steps turned ~90 ms
+        # iterations into multi-second stalls, so they are opt-in: without
+        # them a resumed run re-warms the window from fresh experience
+        # (exactly the reference's partially-filled-buffer behavior).
+        if cfg.save_buffers:
+            if self.exp_buffer.cur_size > 0:
+                ckpt.save_extra_tree(
+                    path, "EXP_BUFFER",
+                    {"data": self.exp_buffer.data,
+                     "cur_size": jnp.int32(self.exp_buffer.cur_size)})
+            if self._fused_buffer:
+                ckpt.save_extra_tree(path, "FUSED_BUFFER",
+                                     self._fused_buffer)
         print(f"Learner: Saved checkpoint to {path}")
 
     def load(self):
@@ -455,6 +464,13 @@ class Learner:
                 self.train_state["policy"], ts_collected)
             for mode, r in ratings.items():
                 report[f"Skill Rating {mode}".strip()] = r
+            stats = self.skill_tracker.last_eval_stats
+            if stats is not None:
+                report["Skill Eval Goals"] = stats["goals"]
+                report["Skill Eval Win Fraction"] = \
+                    stats["cur_goal_fraction"]
+                report["Skill Pool Spread"] = stats["pool_rating_spread"]
+                self.skill_tracker.last_eval_stats = None
 
         if self.iteration_callback:
             self.iteration_callback(self, report)

@@ -83,12 +83,23 @@ class SkillTracker:
         self._gym_state = None
         self._obs = None
         self._key = jax.random.PRNGKey(int(self.rng.integers(1 << 30)))
+        self.last_eval_stats = None
 
     # -------------------------------------------------------------- ELO math
 
-    def _update_ratings(self, winner: dict, loser: dict):
-        """Per-goal ELO with K = rating_inc (SkillTracker.cpp:72-85)."""
-        k = self.config.rating_inc
+    # The reference evaluates 4 CPU envs for 60s — order tens of goals
+    # per eval (SkillTrackerConfig.h:18-19). A lockstep device batch
+    # plays every env the full horizon, which can produce HUNDREDS of
+    # kickoff goals per eval; per-goal K = rating_inc would then
+    # re-equilibrate the rating against whichever opponents were sampled
+    # THIS eval (observed +-200 point swings). Normalizing K by the goal
+    # volume keeps per-eval rating movement at the reference's
+    # magnitude while using every goal's information.
+    REFERENCE_GOALS_PER_EVAL = 25.0
+
+    def _update_ratings(self, winner: dict, loser: dict, k: float):
+        """Per-goal ELO, K scaled to reference eval volume
+        (SkillTracker.cpp:72-85)."""
         exp_delta = (loser[self.mode] - winner[self.mode]) / 400.0
         expected = 1.0 / (10.0 ** exp_delta + 1.0)
         winner[self.mode] += k * (1.0 - expected)
@@ -210,12 +221,33 @@ class SkillTracker:
         scored = np.asarray(recs["scored"])          # [T, N]
         cur_scored = np.asarray(recs["cur_scored"])
         old_idx = np.asarray(recs["old_idx"])
+        rating_before = self.cur_rating[self.mode]
+        cur_goals = 0
+        total_goals = int(scored.sum())
+        k_eff = self.config.rating_inc * min(
+            1.0, self.REFERENCE_GOALS_PER_EVAL / max(total_goals, 1))
         for t, n in zip(*np.nonzero(scored)):
             rating_old = self.old_ratings[old_idx[t, n]]
             if cur_scored[t, n]:
-                self._update_ratings(self.cur_rating, rating_old)
+                cur_goals += 1
+                self._update_ratings(self.cur_rating, rating_old, k_eff)
             else:
-                self._update_ratings(rating_old, self.cur_rating)
+                self._update_ratings(rating_old, self.cur_rating, k_eff)
+
+        # Eval-volume diagnostics: a flat rating is only meaningful if the
+        # eval actually produced goals and the win fraction is resolved —
+        # otherwise the signal is starved, not the skill equal
+        # (docs/ELO_DIAGNOSIS.md).
+        goals = int(scored.sum())
+        self.last_eval_stats = {
+            "goals": goals,
+            "cur_goal_fraction": cur_goals / goals if goals else 0.5,
+            "rating_delta": self.cur_rating[self.mode] - rating_before,
+            "num_versions": len(self.old_params),
+            "pool_rating_spread": (
+                max(r[self.mode] for r in self.old_ratings)
+                - min(r[self.mode] for r in self.old_ratings)),
+        }
 
         self._advance_version(cur_params, timesteps_delta)
         return self.cur_rating

@@ -174,6 +174,7 @@ def test_end_to_end_learning_iteration(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_fused_learner_path(tmp_path):
     """When buffer == batch == one iteration window (reference-default
     economics, examplemain.cpp:115-124), Learner.learn must take the fused
@@ -266,6 +267,7 @@ def test_fused_ineligible_configs():
     assert learner._fused_eligible and learner._fused_K == 2
 
 
+@pytest.mark.slow
 def test_fused_buffered_window_learns():
     """K=3 window economics through the fused path: the first K-1
     iterations warm up eagerly (partial-buffer batches, reference
@@ -313,6 +315,7 @@ def test_fused_buffered_window_learns():
     assert any(abs(k) > 0 for k in kls[2:])
 
 
+@pytest.mark.slow
 def test_deterministic_resume(tmp_path):
     """save -> load -> N iterations == uninterrupted run (SURVEY §5.3):
     PRNG key, env state, return stats and buffer all persist."""
@@ -343,6 +346,7 @@ def test_deterministic_resume(tmp_path):
             checkpoint_save_folder=str(tmp_path / "ckpt"),
             checkpoint_load_folder=str(tmp_path / "ckpt") if load else None,
             timesteps_per_save=10**9, send_metrics=False,
+            save_buffers=True,    # bit-exact resume needs the windows
         )
 
     gym = make_gym()
@@ -383,6 +387,7 @@ def _tiny_match(reward_fn=None):
     )
 
 
+@pytest.mark.slow
 def test_paranoid_mode_clean_run(tmp_path):
     """RG_PARANOID_MODE analog: debug counter + finite checks pass on a
     healthy run (Framework.h:30-34, ExperienceBuffer.cpp:72-88)."""
@@ -403,6 +408,7 @@ def test_paranoid_mode_clean_run(tmp_path):
     assert learner.total_timesteps == 64
 
 
+@pytest.mark.slow
 def test_paranoid_mode_catches_nan(tmp_path):
     """A poisoned reward (NaN) must fail fast like RG_ERR_CLOSE."""
     import pytest as _pytest
@@ -429,6 +435,7 @@ def test_paranoid_mode_catches_nan(tmp_path):
         learner.learn(iterations=1)
 
 
+@pytest.mark.slow
 def test_profiler_trace(tmp_path):
     """Learner.profile_iterations writes a jax.profiler trace
     (SURVEY §5.1 tracing beyond wall-clock timers)."""

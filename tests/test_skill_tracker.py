@@ -38,7 +38,7 @@ def test_elo_update_math():
     tr = SkillTracker(cfg, match, policy)
     tr.cur_rating = {"1v1": 1000.0}
     loser = {"1v1": 1000.0}
-    tr._update_ratings(tr.cur_rating, loser)
+    tr._update_ratings(tr.cur_rating, loser, cfg.rating_inc)
     # Equal ratings: expected = 0.5, so +/- K/2
     assert abs(tr.cur_rating["1v1"] - 1005.0) < 1e-4
     assert abs(loser["1v1"] - 995.0) < 1e-4
@@ -46,7 +46,7 @@ def test_elo_update_math():
     # Stronger winner gains less
     w, l = {"1v1": 1400.0}, {"1v1": 1000.0}
     tr.cur_rating = w
-    tr._update_ratings(w, l)
+    tr._update_ratings(w, l, cfg.rating_inc)
     exp = 1 / (10 ** ((1000 - 1400) / 400) + 1)
     assert abs(w["1v1"] - (1400 + 10 * (1 - exp))) < 1e-3
 
