@@ -1,4 +1,4 @@
-"""Headline benchmark: END-TO-END training steps/second (+ collection-only).
+"""Headline benchmark: END-TO-END training steps/second (+ phase breakdown).
 
 The reference's published numbers (/root/reference/README.md:7-8) are
 ~70,000 collected steps/sec and an honest per-iteration "Overall
@@ -9,18 +9,31 @@ This benchmark measures both for the TPU build:
                 compiled program — learn/train_step.py, the path
                 Learner.learn takes at reference-default config shape),
   - collection: the rollout scan alone (physics + obs + reward + policy
-                forward), the analog of the reference's collection sps.
+                forward), the analog of the reference's collection sps,
+  - phases:     separately-jitted device timings (tick scan, policy
+                forward scan, derived obs+reward and GAE+update) plus an
+                analytic-FLOP MFU estimate for the MLP phases — the
+                reference's timing-breakdown discipline
+                (Learner.cpp:541-570, PPOLearner.cpp:137-157).
 
-PPO config mirrors examplemain.cpp:115-124 economics: one whole-window
-batch per iteration, 1 epoch, 3x256 nets. Steps are player-steps
-(ThreadAgent.cpp:158).
+PPO config mirrors examplemain.cpp:115-124 economics: 3-batch experience
+window, one optimizer step per shuffled batch, 1 epoch, 3x256 nets. Steps
+are player-steps (ThreadAgent.cpp:158).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}
-where the headline value is the overall (end-to-end) number.
+where the headline value is the overall (end-to-end) number. Every run
+also appends its result to bench_history.jsonl so regressions are caught
+at commit time (the r1->r2 4.46M->4.24M collection drop went unexplained
+for a round because nothing tracked history).
+
+--mesh benchmarks the SDF triangle-mesh world's collection rate instead
+(north star: >=1M player-steps/s, BASELINE.md).
 """
 
+import argparse
 import json
 import os
+import subprocess
 import time
 
 # Persistent XLA compilation cache: the fused train step takes ~60-90s to
@@ -33,9 +46,99 @@ os.environ.setdefault(
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import jax
+import jax.numpy as jnp
 
 BASELINE_SPS = 70_000.0   # reference README.md:8 (collection ~= overall
                           # steady-state with collection-during-learn)
+MESH_NORTH_STAR = 1_000_000.0
+
+# TPU v5e (v5 lite): 197 TFLOP/s bf16 MXU peak. MFU below is vs this peak
+# for the MLP matmuls only (f32 paths run lower; the estimate is a floor).
+V5E_BF16_PEAK = 197e12
+
+
+def _mlp_flops_per_row(sizes, n_out):
+    """Forward mul-add FLOPs for one row through an MLP."""
+    dims = list(sizes) + [n_out]
+    f = 0
+    for a, b in zip(dims[:-1], dims[1:]):
+        f += 2 * a * b
+    return f
+
+
+def _time(fn, iters):
+    fn()   # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def _append_history(record):
+    try:
+        rev = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        record["git"] = rev.stdout.strip() or None
+    except Exception:
+        record["git"] = None
+    record["time"] = int(time.time())
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_history.jsonl")
+    with open(path, "a") as f:
+        f.write(json.dumps(record) + "\n")
+
+
+def bench_mesh():
+    """SDF mesh-world collection rate (VERDICT r2 task #3)."""
+    from rlgymppo_cpp_tpu.gym import Gym
+    from rlgymppo_cpp_tpu.learn.config import PPOLearnerConfig
+    from rlgymppo_cpp_tpu.learn.ppo_learner import PPOLearner
+    from rlgymppo_cpp_tpu.learn.rollout import RolloutCollector
+    from rlgymppo_cpp_tpu.sim.soccar_mesh import make_soccar_mesh_geom
+    from __graft_entry__ import _make_match
+
+    platform = jax.devices()[0].platform
+    num_envs = 2048 if platform == "tpu" else 16
+    horizon = 32
+
+    match = _make_match(team_size=1, spawn_opponents=True)
+    gym = Gym(match, num_envs=num_envs, tick_skip=8,
+              geom=make_soccar_mesh_geom())
+    P = gym.num_players
+    batch = horizon * num_envs * P
+
+    ppo = PPOLearner(gym.obs_size, gym.action_amount,
+                     PPOLearnerConfig(batch_size=batch, epochs=1,
+                                      mini_batch_size=0))
+    train_state = ppo.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    key, sub = jax.random.split(key)
+    gym_state, obs = gym.reset(sub)
+
+    collector = RolloutCollector(gym, ppo.policy)
+    params = train_state["policy"]
+    state = {"g": gym_state, "o": obs, "k": key}
+
+    def run():
+        state["k"], sub = jax.random.split(state["k"])
+        state["g"], state["o"], traj, _ = collector.collect(
+            params, state["g"], state["o"], sub, horizon)
+        return traj["rewards"]
+
+    iters = 5 if platform == "tpu" else 1
+    dt = _time(run, iters)
+    sps = batch / dt
+    out = {
+        "metric": "mesh_collection_steps_per_sec",
+        "value": round(sps, 1),
+        "unit": "player-steps/s",
+        "vs_baseline": round(sps / MESH_NORTH_STAR, 3),
+        "num_envs": num_envs,
+    }
+    _append_history(out)
+    print(json.dumps(out))
 
 
 def main():
@@ -43,8 +146,11 @@ def main():
     from rlgymppo_cpp_tpu.learn.config import LearnerConfig, PPOLearnerConfig
     from rlgymppo_cpp_tpu.learn.ppo_learner import PPOLearner
     from rlgymppo_cpp_tpu.learn.rollout import RolloutCollector
-    from rlgymppo_cpp_tpu.learn.train_step import make_train_step
+    from rlgymppo_cpp_tpu.learn.train_step import (
+        make_train_step, init_fused_buffer,
+    )
     from rlgymppo_cpp_tpu.ops.welford import welford_init
+    from rlgymppo_cpp_tpu.sim.state import CarControls
     from __graft_entry__ import _make_match
 
     platform = jax.devices()[0].platform
@@ -55,6 +161,7 @@ def main():
     gym = Gym(match, num_envs=num_envs, tick_skip=8)
     P = gym.num_players
     batch = horizon * num_envs * P
+    iters = 5 if platform == "tpu" else 2
 
     cfg = LearnerConfig(num_envs=num_envs)
     cfg.ppo = PPOLearnerConfig(batch_size=batch, epochs=1,
@@ -72,7 +179,6 @@ def main():
     # optimizer step per shuffled batch; the fused program carries the
     # window on device (train_step.py buffer_mult). The 70k baseline was
     # measured under these economics, so the headline is too.
-    from rlgymppo_cpp_tpu.learn.train_step import init_fused_buffer
     K = 3
     cfg.exp_buffer_size = K * batch
     step = make_train_step(gym, ppo, cfg, horizon, buffer_mult=K)
@@ -83,7 +189,6 @@ def main():
         jax.block_until_ready(out[-1]["entropy"])
         train_state, gym_state, obs, return_stats, buffer, _ = out
 
-    iters = 5 if platform == "tpu" else 2
     t0 = time.perf_counter()
     for _ in range(iters):
         key, sub = jax.random.split(key)
@@ -91,32 +196,111 @@ def main():
          metrics) = step(
             train_state, gym_state, obs, return_stats, buffer, sub)
     jax.block_until_ready(metrics["entropy"])
-    overall_sps = iters * batch / (time.perf_counter() - t0)
+    overall_dt = (time.perf_counter() - t0) / iters
+    overall_sps = batch / overall_dt
 
     # ---- collection only ----
     collector = RolloutCollector(gym, ppo.policy)
     params = train_state["policy"]
-    key, sub = jax.random.split(key)
-    gym_state, obs, traj, _ = collector.collect(
-        params, gym_state, obs, sub, horizon)   # compile
-    jax.block_until_ready(traj["rewards"])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        key, sub = jax.random.split(key)
-        gym_state, obs, traj, _ = collector.collect(
-            params, gym_state, obs, sub, horizon)
-    jax.block_until_ready(traj["rewards"])
-    collect_sps = iters * batch / (time.perf_counter() - t0)
+    cstate = {"g": gym_state, "o": obs, "k": key}
 
-    print(json.dumps({
+    def run_collect():
+        cstate["k"], sub = jax.random.split(cstate["k"])
+        cstate["g"], cstate["o"], traj, _ = collector.collect(
+            params, cstate["g"], cstate["o"], sub, horizon)
+        return traj["rewards"]
+
+    collect_dt = _time(run_collect, iters)
+    collect_sps = batch / collect_dt
+
+    # ---- phase: raw physics tick scan (horizon * tick_skip ticks) ----
+    arena = gym.arena
+    phases = {}
+    controls = CarControls.zeros((num_envs, gym.num_players))
+    n_ticks = horizon * gym.tick_skip
+
+    @jax.jit
+    def tick_scan(state, k):
+        def body(carry, _):
+            s, k = carry
+            k, sub = jax.random.split(k)
+            s, _ev = arena.tick_jit(s, controls, sub)
+            return (s, k), ()
+        (s, _), _ = jax.lax.scan(body, (state, k), None, length=n_ticks)
+        return s.ball.pos
+
+    st0 = cstate["g"].arena
+    tick_dt = _time(lambda: tick_scan(st0, jax.random.PRNGKey(3)), iters)
+    phases["tick"] = round(tick_dt, 4)
+
+    # ---- phase: policy forward scan (horizon batched forwards) ----
+    flat_obs = jnp.zeros((num_envs * P, gym.obs_size), jnp.float32)
+
+    @jax.jit
+    def policy_scan(o, k):
+        def body(carry, _):
+            o, k = carry
+            k, sub = jax.random.split(k)
+            a, _lp = ppo.policy.get_action(params, o, sub)
+            # feed a hair of the output back so the scan can't be
+            # collapsed by loop-invariant code motion
+            o = o + a[:, None].astype(jnp.float32) * 1e-9
+            return (o, k), ()
+        (o, _), _ = jax.lax.scan(body, (o, k), None, length=horizon)
+        return o
+
+    policy_dt = _time(
+        lambda: policy_scan(flat_obs, jax.random.PRNGKey(4)), iters)
+    phases["policy_forward"] = round(policy_dt, 4)
+
+    # derived phases (fusion means sums need not match exactly)
+    if "tick" in phases:
+        phases["obs_reward_derived"] = round(
+            max(collect_dt - phases["tick"] - policy_dt, 0.0), 4)
+    phases["gae_update_derived"] = round(
+        max(overall_dt - collect_dt, 0.0), 4)
+    phases["collection"] = round(collect_dt, 4)
+    phases["overall"] = round(overall_dt, 4)
+
+    # ---- analytic-FLOP MFU for the MLP phases ----
+    p_cfg = cfg.ppo
+    f_policy = _mlp_flops_per_row((gym.obs_size,) + tuple(
+        p_cfg.policy_layer_sizes or (256, 256, 256)), gym.action_amount)
+    f_critic = _mlp_flops_per_row((gym.obs_size,) + tuple(
+        p_cfg.critic_layer_sizes or (256, 256, 256)), 1)
+    rollout_flops = f_policy * batch                      # one fwd per step
+    # learn: fwd+bwd (~3x fwd) both nets over K batches + GAE value fwd
+    learn_flops = 3 * (f_policy + f_critic) * K * batch + f_critic * K * batch
+    mfu_policy = rollout_flops / policy_dt / V5E_BF16_PEAK \
+        if platform == "tpu" else None
+    learn_dt = phases["gae_update_derived"] or None
+    mfu_learn = (learn_flops / learn_dt / V5E_BF16_PEAK
+                 if platform == "tpu" and learn_dt else None)
+
+    out = {
         "metric": "overall_steps_per_sec",
         "value": round(overall_sps, 1),
         "unit": "player-steps/s",
         "vs_baseline": round(overall_sps / BASELINE_SPS, 3),
         "collection_steps_per_sec": round(collect_sps, 1),
         "collection_vs_baseline": round(collect_sps / BASELINE_SPS, 3),
-    }))
+        "phases": phases,
+        "mfu": {"policy_forward": round(mfu_policy, 4) if mfu_policy
+                else None,
+                "gae_update": round(mfu_learn, 4) if mfu_learn else None,
+                "peak_ref": "v5e bf16 197 TFLOP/s, analytic MLP FLOPs"},
+    }
+    _append_history(out)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mesh", action="store_true",
+                    help="benchmark the SDF triangle-mesh world's "
+                         "collection rate (north star >=1M sps)")
+    args = ap.parse_args()
+    if args.mesh:
+        bench_mesh()
+    else:
+        main()

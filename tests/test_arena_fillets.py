@@ -19,6 +19,11 @@ from rlgymppo_cpp_tpu.sim.arena_geom import (
     soccar_fillet_rows,
 )
 
+# golden replays / multihost / learner e2e are the
+# acceptance bar but dominate wall time: slow-marked, run
+# with `pytest tests/ --runslow` (README "Testing")
+pytestmark = pytest.mark.slow
+
 
 def _single_fillet_geom():
     """Floor + -x wall + one fillet (the golden fillet world's shape)."""

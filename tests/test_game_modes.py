@@ -16,6 +16,11 @@ from rlgymppo_cpp_tpu.sim.constants import GameMode
 from rlgymppo_cpp_tpu.sim.mutators import MutatorConfig
 from rlgymppo_cpp_tpu.sim.state import CarControls
 
+# golden replays / multihost / learner e2e are the
+# acceptance bar but dominate wall time: slow-marked, run
+# with `pytest tests/ --runslow` (README "Testing")
+pytestmark = pytest.mark.slow
+
 
 def run_ticks(arena, state, n, key=None):
     key = key if key is not None else jax.random.PRNGKey(0)

@@ -39,6 +39,11 @@ from rlgymppo_cpp_tpu.gym.obs import DefaultOBS, DefaultOBSPadded
 from rlgymppo_cpp_tpu.gym.actions import DiscreteAction
 from rlgymppo_cpp_tpu.gym import rewards as R
 
+# golden replays / multihost / learner e2e are the
+# acceptance bar but dominate wall time: slow-marked, run
+# with `pytest tests/ --runslow` (README "Testing")
+pytestmark = pytest.mark.slow
+
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 
 TRACES = [

@@ -7,6 +7,12 @@ from rlgymppo_cpp_tpu.sim.arena import Arena
 from rlgymppo_cpp_tpu.sim.arena_geom import make_hoops_geom
 from rlgymppo_cpp_tpu.sim.constants import GameMode
 from rlgymppo_cpp_tpu.sim import constants as C
+import pytest
+
+# golden replays / multihost / learner e2e are the
+# acceptance bar but dominate wall time: slow-marked, run
+# with `pytest tests/ --runslow` (README "Testing")
+pytestmark = pytest.mark.slow
 
 
 def test_hoops_geom_contacts():

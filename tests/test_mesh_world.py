@@ -19,6 +19,11 @@ from rlgymppo_cpp_tpu.sim.soccar_mesh import (
 )
 from rlgymppo_cpp_tpu.sim import constants as C
 
+# golden replays / multihost / learner e2e are the
+# acceptance bar but dominate wall time: slow-marked, run
+# with `pytest tests/ --runslow` (README "Testing")
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def mesh_geom(tmp_path_factory):

@@ -15,6 +15,12 @@ tests/pallas_tick_child.py for the actual assertions).
 import os
 import subprocess
 import sys
+import pytest
+
+# golden replays / multihost / learner e2e are the
+# acceptance bar but dominate wall time: slow-marked, run
+# with `pytest tests/ --runslow` (README "Testing")
+pytestmark = pytest.mark.slow
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 

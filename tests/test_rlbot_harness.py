@@ -22,6 +22,11 @@ from rlgymppo_cpp_tpu.deploy.mock_packets import (
 from rlgymppo_cpp_tpu.gym.obs import DefaultOBS
 from rlgymppo_cpp_tpu.gym.actions import DiscreteAction
 
+# golden replays / multihost / learner e2e are the
+# acceptance bar but dominate wall time: slow-marked, run
+# with `pytest tests/ --runslow` (README "Testing")
+pytestmark = pytest.mark.slow
+
 RLBOT_DIR = os.path.join(os.path.dirname(__file__), "..",
                          "rlgymppo_cpp_tpu", "deploy", "rlbot")
 

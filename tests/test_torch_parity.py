@@ -24,6 +24,11 @@ import jax.numpy as jnp  # noqa: E402
 from rlgymppo_cpp_tpu.learn.config import PPOLearnerConfig  # noqa: E402
 from rlgymppo_cpp_tpu.learn.ppo_learner import PPOLearner  # noqa: E402
 
+# golden replays / multihost / learner e2e are the
+# acceptance bar but dominate wall time: slow-marked, run
+# with `pytest tests/ --runslow` (README "Testing")
+pytestmark = pytest.mark.slow
+
 OBS, ACTS = 24, 90
 MIN_PROB = 1e-11
 
