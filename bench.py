@@ -213,20 +213,21 @@ def main():
     collect_dt = _time(run_collect, iters)
     collect_sps = batch / collect_dt
 
-    # ---- phase: raw physics tick scan (horizon * tick_skip ticks) ----
+    # ---- phase: raw physics tick scan (horizon steps x tick_skip ticks,
+    # composed exactly like gym.step: ONE layout conversion per env step,
+    # the ticks themselves scanned in core layout — arena.py step()) ----
     arena = gym.arena
     phases = {}
     controls = CarControls.zeros((num_envs, gym.num_players))
-    n_ticks = horizon * gym.tick_skip
 
     @jax.jit
     def tick_scan(state, k):
         def body(carry, _):
             s, k = carry
             k, sub = jax.random.split(k)
-            s, _ev = arena.tick_jit(s, controls, sub)
+            s, _ev = arena.step(s, controls, sub, gym.tick_skip)
             return (s, k), ()
-        (s, _), _ = jax.lax.scan(body, (state, k), None, length=n_ticks)
+        (s, _), _ = jax.lax.scan(body, (state, k), None, length=horizon)
         return s.ball.pos
 
     st0 = cstate["g"].arena

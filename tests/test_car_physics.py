@@ -48,6 +48,8 @@ def run(arena, state, controls, n, key=0):
     return state
 
 
+@pytest.mark.slow   # 120 per-tick dispatches (~3 min cold on CPU);
+# resting contact is also pinned by the golden suspension traces
 def test_car_rests_on_ground(arena):
     state = place_car(arena)
     state = run(arena, state, mk_controls(), 120)

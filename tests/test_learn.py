@@ -123,6 +123,7 @@ def test_experience_buffer_fifo():
     assert sorted(np.asarray(idx).flatten().tolist()) == list(range(10))
 
 
+@pytest.mark.slow   # full learner compile (~3 min cold on CPU)
 def test_end_to_end_learning_iteration(tmp_path):
     """Full data path: rollout -> GAE -> buffer -> PPO -> checkpoint."""
     from rlgymppo_cpp_tpu.gym import (

@@ -26,6 +26,7 @@ def make_gym(team_size, num_envs, max_players=4):
     return Gym(match, num_envs=num_envs, tick_skip=8)
 
 
+@pytest.mark.slow   # two full gym.step compiles (~8 min cold on CPU)
 def test_multi_gym_collector_shapes():
     g1 = make_gym(1, 4)   # 2 players/env -> B=8
     g2 = make_gym(2, 2)   # 4 players/env -> B=8
@@ -60,6 +61,7 @@ def test_multi_gym_rejects_mismatched_obs():
         MultiGymCollector([g1, g2], policy)
 
 
+@pytest.mark.slow   # learner + two gym compiles (~7 min cold on CPU)
 def test_learner_with_groups(tmp_path):
     g1 = make_gym(1, 4)
     g2 = make_gym(2, 2)

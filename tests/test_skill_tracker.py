@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from rlgymppo_cpp_tpu.gym import (
     Match, DiscreteAction, DefaultOBS, VelocityPlayerToBallReward,
@@ -51,6 +52,7 @@ def test_elo_update_math():
     assert abs(w["1v1"] - (1400 + 10 * (1 - exp))) < 1e-3
 
 
+@pytest.mark.slow   # eval-gym compile (~2.5 min cold on CPU)
 def test_run_games_smoke():
     """Full eval rollout: versions snapshot, ratings dict returned."""
     match = make_match()
