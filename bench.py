@@ -100,7 +100,10 @@ def bench_mesh():
     from __graft_entry__ import _make_match
 
     platform = jax.devices()[0].platform
-    num_envs = 2048 if platform == "tpu" else 16
+    # 8192 envs, not 2048: the mesh world is gather-bound and the chip is
+    # latency-bound below ~4k envs (scripts/mesh_profile.py: plane world
+    # 386k sps @ 2048 vs 1.9M @ 8192 in the same process)
+    num_envs = 8192 if platform == "tpu" else 16
     horizon = 32
 
     match = _make_match(team_size=1, spawn_opponents=True)

@@ -67,6 +67,21 @@ def car_world_contacts(cars, geom, mut, ii_diag, half, offset, dt, active):
     has_contact = jnp.zeros_like(active)
     best_depth = jnp.full(active.shape, -jnp.inf)
     contact_normal = V3.zeros(active.shape)
+    # Grid-backed geoms (MeshGeom): TWO row gathers per car (at the world-z
+    # levels of the top and bottom corner planes) serve all 8 corner
+    # queries from registers — each corner statically picks the row of its
+    # own z sign, so the thin z-cells (~35 uu at soccar resolution) are
+    # never extrapolated across. Gathers are the mesh world's entire cost
+    # (scripts/mesh_profile.py), so this is 4x fewer rows + no dirs rows.
+    ctx_top = ctx_bot = None
+    if hasattr(geom, "local_ctx_core"):
+        zero2 = jnp.zeros_like(cars.pos.x)
+        dz = jnp.abs(cars.rot.mv(V3.of(0.0, 0.0, half[2])).z) \
+            + abs(offset[2])
+        ctx_top = geom.local_ctx_core(
+            cars.pos + V3(zero2, zero2, dz), for_car=True)
+        ctx_bot = geom.local_ctx_core(
+            cars.pos + V3(zero2, zero2, -dz), for_car=True)
     # One sequential impulse per corner (bullet solver-iteration analog);
     # the per-corner deepest plane comes from a gather-free plane loop.
     for sx, sy, sz in _SIGNS:
@@ -74,8 +89,13 @@ def car_world_contacts(cars, geom, mut, ii_diag, half, offset, dt, active):
                       sy * half[1] + offset[1],
                       sz * half[2] + offset[2])
         corner = cars.pos + cars.rot.mv(local)
-        depth, normal = geom.sphere_contact_core(corner, MESH_MARGIN,
-                                                 for_car=True)
+        if ctx_top is not None:
+            dist, normal = geom.eval_local_core(
+                ctx_top if sz > 0 else ctx_bot, corner)
+            depth = MESH_MARGIN - dist
+        else:
+            depth, normal = geom.sphere_contact_core(corner, MESH_MARGIN,
+                                                     for_car=True)
         in_contact = (depth > 0.0) & active
 
         rel = corner - cars.pos

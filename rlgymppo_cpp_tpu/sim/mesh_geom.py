@@ -84,6 +84,31 @@ def _corner_pack(dist):
     return jnp.asarray(packed.reshape(-1, 8))
 
 
+def _corner_pack_full(dist, dirs_encoded):
+    """[cells, 32] rows: 8 corner distances + the 8 corner nodes' encoded
+    push-directions (3 components each, _encode_dirs length convention:
+    |v| == 2 smooth, 1 seam). ONE row gather then serves the trilinear
+    distance, its analytic gradient, AND the nearest-node seam normal —
+    the TPU probe (scripts/mesh_profile.py, 8192 envs) showed the
+    scattered dirs[ni] gather cost as much as every packed-row gather
+    combined (~1.9 us/player-step each), so folding dirs into the row
+    halves the whole mesh overhead by itself."""
+    d = np.asarray(dist, np.float32)
+    dd = np.asarray(dirs_encoded, np.float32)
+    X, Y, Z = d.shape
+    packed = np.empty((X - 1, Y - 1, Z - 1, 32), np.float32)
+    c = 0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                sl = (slice(dx, X - 1 + dx), slice(dy, Y - 1 + dy),
+                      slice(dz, Z - 1 + dz))
+                packed[..., c] = d[sl]
+                packed[..., 8 + 3 * c:8 + 3 * c + 3] = dd[sl]
+                c += 1
+    return jnp.asarray(packed.reshape(-1, 32))
+
+
 class MeshGeom:
     """Distance-grid world. Static arrays; hashable by id; jit-friendly."""
 
@@ -100,13 +125,15 @@ class MeshGeom:
     def __init__(self, dist, dirs, bounds_min, cell,
                  net_dist=None, net_dirs=None):
         self.dist = jnp.asarray(dist, jnp.float32)          # [X, Y, Z]
-        self.dirs = jnp.asarray(_encode_dirs(dirs, cell))   # [X, Y, Z, 3]
+        enc = _encode_dirs(dirs, cell)                      # np [X, Y, Z, 3]
+        self.dirs = jnp.asarray(enc)
         self.bounds_min = jnp.asarray(bounds_min, jnp.float32)
         self.cell = jnp.asarray(cell, jnp.float32)
         self.dims = self.dist.shape
         self.band = float(np.abs(np.asarray(dist)).max())
 
         self._packed = _corner_pack(dist)
+        self._packed_full = _corner_pack_full(dist, enc)
         X, Y, Z = self.dims
         self._cdims = (X - 1, Y - 1, Z - 1)
 
@@ -116,9 +143,11 @@ class MeshGeom:
         if self.has_net:
             assert tuple(np.shape(net_dist)) == tuple(self.dims), \
                 "net grid must share the main grid's dims/bounds"
+            net_enc = _encode_dirs(net_dirs, cell)
             self.net_dist = jnp.asarray(net_dist, jnp.float32)
-            self.net_dirs = jnp.asarray(_encode_dirs(net_dirs, cell))
+            self.net_dirs = jnp.asarray(net_enc)
             self._net_packed = _corner_pack(net_dist)
+            self._net_packed_full = _corner_pack_full(net_dist, net_enc)
 
     @classmethod
     def from_cmf(cls, paths, bounds_min, bounds_max, dims=(128, 160, 64),
@@ -163,25 +192,30 @@ class MeshGeom:
 
     # ------------------------------------------------------------- sampling
 
-    def _field_eval(self, packed, dirs, flat_idx, ni, t):
-        """One field's trilinear distance + contact normal.
+    def _row_eval(self, row, tx, ty, tz):
+        """Trilinear distance + contact normal from one gathered 32-wide
+        row at (possibly out-of-[0,1], i.e. extrapolated) cell weights.
 
-        Distance and its ANALYTIC GRADIENT come from one 8-wide corner
-        gather (the gradient of the interpolant is exact from the same 8
-        corners — no extra memory traffic — and varies smoothly within a
-        cell). The normal source is selected per query by the
-        _encode_dirs flag carried in the node direction's length:
-        smooth/curved surfaces use the gradient (per-node constant
-        directions are a staircase there — they bled ~7% of climb speed
-        on the quarter-pipe golden traces), sharp concave creases use
-        the nearest-node bake direction (the gradient blends the two
-        planes of a crease into diagonal mush)."""
-        c = jnp.take(packed, flat_idx, axis=0)               # [..., 8]
-        wx1, wy1, wz1 = t[..., 0], t[..., 1], t[..., 2]
+        Distance and its ANALYTIC GRADIENT come from the row's 8 corner
+        distances (the gradient of the interpolant is exact from the same
+        8 corners — no extra memory traffic — and varies smoothly within
+        a cell; outside the cell both are the polynomial's extension,
+        first-order accurate within ~a cell of it). The normal source is
+        selected per query by the _encode_dirs flag carried in the node
+        direction's length: smooth/curved surfaces use the gradient
+        (per-node constant directions are a staircase there — they bled
+        ~7% of climb speed on the quarter-pipe golden traces), sharp
+        concave creases use the nearest-node bake direction (the gradient
+        blends the two planes of a crease into diagonal mush). The
+        nearest node's direction is read from the SAME row (no scattered
+        dirs gather — see _corner_pack_full).
+
+        Returns (d, (nx, ny, nz)) with component arrays."""
+        wx1, wy1, wz1 = tx, ty, tz
         wx0, wy0, wz0 = 1 - wx1, 1 - wy1, 1 - wz1
         # packed corner order: bit2 = dx, bit1 = dy, bit0 = dz
-        c0, c1, c2, c3 = c[..., 0], c[..., 1], c[..., 2], c[..., 3]
-        c4, c5, c6, c7 = c[..., 4], c[..., 5], c[..., 6], c[..., 7]
+        c0, c1, c2, c3 = row[..., 0], row[..., 1], row[..., 2], row[..., 3]
+        c4, c5, c6, c7 = row[..., 4], row[..., 5], row[..., 6], row[..., 7]
         d = (wx0 * (wy0 * (wz0 * c0 + wz1 * c1)
                     + wy1 * (wz0 * c2 + wz1 * c3))
              + wx1 * (wy0 * (wz0 * c4 + wz1 * c5)
@@ -192,17 +226,43 @@ class MeshGeom:
               + (c6 - c4) * wx1 * wz0 + (c7 - c5) * wx1 * wz1)
         gz = ((c1 - c0) * wx0 * wy0 + (c3 - c2) * wx0 * wy1
               + (c5 - c4) * wx1 * wy0 + (c7 - c6) * wx1 * wy1)
-        g = jnp.stack([gx, gy, gz], axis=-1) / self.cell
-        gnorm = jnp.linalg.norm(g, axis=-1, keepdims=True)
+        cx = self.cell
+        gx, gy, gz = gx / cx[0], gy / cx[1], gz / cx[2]
+        gnorm = jnp.sqrt(gx * gx + gy * gy + gz * gz)
 
-        nd = dirs[ni[..., 0], ni[..., 1], ni[..., 2]]
-        ndnorm = jnp.linalg.norm(nd, axis=-1, keepdims=True)
+        # nearest node = the cell corner picked per axis by the (clamped)
+        # weight — identical to the old round(f) global-node selection
+        bx = jnp.clip(tx, 0.0, 1.0) >= 0.5
+        by = jnp.clip(ty, 0.0, 1.0) >= 0.5
+        bz = jnp.clip(tz, 0.0, 1.0) >= 0.5
+        # corner index c = 4*dx + 2*dy + dz; select its 3 dir components
+        # with a 3-level where chain (vector selects, no gather)
+        def pick(axis_off):
+            v_dz0_dy0 = jnp.where(bx, row[..., 8 + 3 * 4 + axis_off],
+                                  row[..., 8 + axis_off])
+            v_dz0_dy1 = jnp.where(bx, row[..., 8 + 3 * 6 + axis_off],
+                                  row[..., 8 + 3 * 2 + axis_off])
+            v_dz1_dy0 = jnp.where(bx, row[..., 8 + 3 * 5 + axis_off],
+                                  row[..., 8 + 3 * 1 + axis_off])
+            v_dz1_dy1 = jnp.where(bx, row[..., 8 + 3 * 7 + axis_off],
+                                  row[..., 8 + 3 * 3 + axis_off])
+            v_dz0 = jnp.where(by, v_dz0_dy1, v_dz0_dy0)
+            v_dz1 = jnp.where(by, v_dz1_dy1, v_dz1_dy0)
+            return jnp.where(bz, v_dz1, v_dz0)
+
+        ndx, ndy, ndz = pick(0), pick(1), pick(2)
+        ndnorm = jnp.sqrt(ndx * ndx + ndy * ndy + ndz * ndz)
         smooth = (ndnorm > 1.5) & (gnorm > 1e-6)
-        n = jnp.where(smooth, g / jnp.maximum(gnorm, 1e-6),
-                      nd / jnp.maximum(ndnorm, 1e-6))
-        n = jnp.where(ndnorm > 1e-6, n,
-                      jnp.asarray([0.0, 0.0, 1.0]))
-        return d, n
+        inv_g = 1.0 / jnp.maximum(gnorm, 1e-6)
+        inv_nd = 1.0 / jnp.maximum(ndnorm, 1e-6)
+        nx = jnp.where(smooth, gx * inv_g, ndx * inv_nd)
+        ny = jnp.where(smooth, gy * inv_g, ndy * inv_nd)
+        nz = jnp.where(smooth, gz * inv_g, ndz * inv_nd)
+        degenerate = ndnorm <= 1e-6
+        nx = jnp.where(degenerate, 0.0, nx)
+        ny = jnp.where(degenerate, 0.0, ny)
+        nz = jnp.where(degenerate, 1.0, nz)
+        return d, (nx, ny, nz)
 
     def _grid_coords(self, pos):
         f = (pos - self.bounds_min) / self.cell
@@ -238,16 +298,97 @@ class MeshGeom:
         Out-of-grid positions clamp to the border (distances there are
         `band`, i.e. no contact)."""
         f, flat_idx, t = self._grid_coords(pos)
-        ni = jnp.round(f).astype(jnp.int32)
-        d, n = self._field_eval(self._packed, self.dirs, flat_idx, ni, t)
+        row = jnp.take(self._packed_full, flat_idx, axis=0)
+        d, (nx, ny, nz) = self._row_eval(row, t[..., 0], t[..., 1],
+                                         t[..., 2])
+        n = jnp.stack([nx, ny, nz], axis=-1)
 
         if self.has_net and not for_car:
-            nd, nn = self._field_eval(self._net_packed, self.net_dirs,
-                                      flat_idx, ni, t)
+            nrow = jnp.take(self._net_packed_full, flat_idx, axis=0)
+            nd, (mx, my, mz) = self._row_eval(nrow, t[..., 0], t[..., 1],
+                                              t[..., 2])
+            nn = jnp.stack([mx, my, mz], axis=-1)
             closer = nd < d
             d = jnp.where(closer, nd, d)
             n = jnp.where(closer[..., None], nn, n)
         return d, n
+
+    # --------------------------------------------- cached-cell local eval
+    # The mesh world's whole TPU cost is gather rows (scripts/
+    # mesh_profile.py). These helpers gather ONE 32-wide row per physics
+    # feature (a car, a wheel ray) and answer every query of that feature
+    # from registers — extrapolated trilinear within ~a cell of the
+    # gathered one, which is exact on planar surfaces and first-order
+    # accurate on curved ones (golden mesh traces bound the error).
+
+    def _coords_core(self, pos):
+        """Unclamped fractional grid coords of a V3 (component form)."""
+        bm, cl = self.bounds_min, self.cell
+        return ((pos.x - bm[0]) / cl[0], (pos.y - bm[1]) / cl[1],
+                (pos.z - bm[2]) / cl[2])
+
+    def local_ctx_core(self, pos, for_car=False):
+        """Gather the cell row(s) containing V3 `pos` (clamped into the
+        grid). Returns a ctx dict for eval_local_core / _eval_d_local."""
+        fx, fy, fz = self._coords_core(pos)
+        cx, cy, cz = self._cdims
+        ix = jnp.clip(jnp.floor(fx), 0, cx - 1).astype(jnp.int32)
+        iy = jnp.clip(jnp.floor(fy), 0, cy - 1).astype(jnp.int32)
+        iz = jnp.clip(jnp.floor(fz), 0, cz - 1).astype(jnp.int32)
+        flat = (ix * cy + iy) * cz + iz
+        ctx = {
+            "row": jnp.take(self._packed_full, flat, axis=0),
+            "ox": ix.astype(jnp.float32),
+            "oy": iy.astype(jnp.float32),
+            "oz": iz.astype(jnp.float32),
+        }
+        if self.has_net and not for_car:
+            ctx["net_row"] = jnp.take(self._net_packed_full, flat, axis=0)
+        return ctx
+
+    def _local_weights(self, ctx, pos):
+        """Cell weights of V3 `pos` relative to the ctx cell, bounded to
+        one cell of extrapolation so far-out positions can't manufacture
+        phantom contacts from the polynomial's extension."""
+        fx, fy, fz = self._coords_core(pos)
+        tx = jnp.clip(fx - ctx["ox"], -1.0, 2.0)
+        ty = jnp.clip(fy - ctx["oy"], -1.0, 2.0)
+        tz = jnp.clip(fz - ctx["oz"], -1.0, 2.0)
+        return tx, ty, tz
+
+    def eval_local_core(self, ctx, pos):
+        """(distance, normal V3) at V3 `pos` from the cached ctx row."""
+        from rlgymppo_cpp_tpu.maths.v3 import V3
+        tx, ty, tz = self._local_weights(ctx, pos)
+        d, (nx, ny, nz) = self._row_eval(ctx["row"], tx, ty, tz)
+        if "net_row" in ctx:
+            nd, (mx, my, mz) = self._row_eval(ctx["net_row"], tx, ty, tz)
+            closer = nd < d
+            d = jnp.minimum(d, nd)
+            nx = jnp.where(closer, mx, nx)
+            ny = jnp.where(closer, my, ny)
+            nz = jnp.where(closer, mz, nz)
+        return d, V3(nx, ny, nz)
+
+    def _eval_d_local(self, ctx, pos):
+        """Distance only from the cached ctx row (no normal math)."""
+        tx, ty, tz = self._local_weights(ctx, pos)
+        row = ctx["row"]
+        wx1, wy1, wz1 = tx, ty, tz
+        wx0, wy0, wz0 = 1 - wx1, 1 - wy1, 1 - wz1
+        d = (wx0 * (wy0 * (wz0 * row[..., 0] + wz1 * row[..., 1])
+                    + wy1 * (wz0 * row[..., 2] + wz1 * row[..., 3]))
+             + wx1 * (wy0 * (wz0 * row[..., 4] + wz1 * row[..., 5])
+                      + wy1 * (wz0 * row[..., 6] + wz1 * row[..., 7])))
+        if "net_row" in ctx:
+            nrow = ctx["net_row"]
+            nd = (wx0 * (wy0 * (wz0 * nrow[..., 0] + wz1 * nrow[..., 1])
+                         + wy1 * (wz0 * nrow[..., 2] + wz1 * nrow[..., 3]))
+                  + wx1 * (wy0 * (wz0 * nrow[..., 4] + wz1 * nrow[..., 5])
+                          + wy1 * (wz0 * nrow[..., 6]
+                                   + wz1 * nrow[..., 7])))
+            d = jnp.minimum(d, nd)
+        return d
 
     # ----------------------------------------------------------- geom API
 
@@ -276,17 +417,27 @@ class MeshGeom:
         return radius - d, n
 
     def raycast_core(self, start, direction, max_len, for_car=False):
+        """Suspension-length rays (< ~2 cells): ONE row gather at the ray
+        segment midpoint, then the whole sphere-trace runs in registers on
+        that cell's (extrapolated) trilinear field. Exact on planar
+        surfaces; on curved ones the extrapolation error over a half-ray
+        (~50 uu) at the arena's tightest fillet (R = 260 uu) is a few uu —
+        inside the golden mesh traces' bounds. Longer rays would need the
+        marching version (see `raycast` below, which keeps it)."""
         from rlgymppo_cpp_tpu.maths.v3 import V3
+        half = max_len * 0.5
+        mid = V3(start.x + direction.x * half, start.y + direction.y * half,
+                 start.z + direction.z * half)
+        ctx = self.local_ctx_core(mid, for_car)
         t = jnp.zeros_like(start.x)
         for _ in range(self.RAY_STEPS):
             p = V3(start.x + direction.x * t, start.y + direction.y * t,
                    start.z + direction.z * t)
-            d = self._sample_dist(
-                jnp.stack([p.x, p.y, p.z], axis=-1), for_car)
+            d = self._eval_d_local(ctx, p)
             t = jnp.minimum(t + jnp.maximum(d, 0.0), max_len)
         p = V3(start.x + direction.x * t, start.y + direction.y * t,
                start.z + direction.z * t)
-        d, n = self._sample_core(p, for_car)
+        d, n = self.eval_local_core(ctx, p)
         hit = (d < 6.0) & (t < max_len)
         return hit, jnp.where(hit, t, max_len), n
 

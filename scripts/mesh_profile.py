@@ -106,7 +106,7 @@ def main():
 
                 def fake_take(arr, idx, axis=0, **kw):
                     if (axis == 0 and arr.ndim == 2
-                            and arr.shape[-1] == 8):
+                            and arr.shape[-1] in (8, 32)):
                         # uniform index: same bytes-per-lane shape, no
                         # random access
                         return jnp.broadcast_to(
