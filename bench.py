@@ -66,13 +66,28 @@ def _mlp_flops_per_row(sizes, n_out):
     return f
 
 
-def _time(fn, iters):
-    fn()   # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def _sync(x):
+    """Real device sync: reduce to a scalar on device and fetch it.
+    block_until_ready is NOT a reliable barrier on tunneled TPU runtimes
+    (small programs vanish into the dispatch queue and 'complete'
+    instantly), and fetching a big array costs seconds over the tunnel —
+    so reduce first, then pull 4 bytes."""
+    float(jnp.sum(x))
+
+
+def _time(fn, iters, trials=1):
+    """Best-of-`trials` mean over `iters` chained runs. The tunnel/host
+    adds multi-ms jitter; the best trial is the closest estimate of
+    device throughput (BENCH_r03 recorded a 2.1x-slow outlier run)."""
+    _sync(fn())   # compile + warm
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn()
+        _sync(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def _append_history(record):
@@ -131,7 +146,7 @@ def bench_mesh():
         return traj["rewards"]
 
     iters = 5 if platform == "tpu" else 1
-    dt = _time(run, iters)
+    dt = _time(run, iters, trials=3)
     sps = batch / dt
     out = {
         "metric": "mesh_collection_steps_per_sec",
@@ -186,21 +201,23 @@ def main():
     cfg.exp_buffer_size = K * batch
     step = make_train_step(gym, ppo, cfg, horizon, buffer_mult=K)
     buffer = init_fused_buffer(K, batch, gym.obs_size)
-    for _ in range(K):   # compile + fill the window with real experience
-        key, sub = jax.random.split(key)
-        out = step(train_state, gym_state, obs, return_stats, buffer, sub)
-        jax.block_until_ready(out[-1]["entropy"])
-        train_state, gym_state, obs, return_stats, buffer, _ = out
+    fstate = {"ts": train_state, "g": gym_state, "o": obs,
+              "rs": return_stats, "b": buffer, "k": key}
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        key, sub = jax.random.split(key)
-        (train_state, gym_state, obs, return_stats, buffer,
-         metrics) = step(
-            train_state, gym_state, obs, return_stats, buffer, sub)
-    jax.block_until_ready(metrics["entropy"])
-    overall_dt = (time.perf_counter() - t0) / iters
+    def run_overall():
+        fstate["k"], sub = jax.random.split(fstate["k"])
+        (fstate["ts"], fstate["g"], fstate["o"], fstate["rs"],
+         fstate["b"], metrics) = step(
+            fstate["ts"], fstate["g"], fstate["o"], fstate["rs"],
+            fstate["b"], sub)
+        return metrics["entropy"]
+
+    for _ in range(K):   # compile + fill the window with real experience
+        _sync(run_overall())
+    overall_dt = _time(run_overall, iters, trials=3)
     overall_sps = batch / overall_dt
+    train_state, gym_state, obs = fstate["ts"], fstate["g"], fstate["o"]
+    key = fstate["k"]
 
     # ---- collection only ----
     collector = RolloutCollector(gym, ppo.policy)
@@ -213,7 +230,7 @@ def main():
             params, cstate["g"], cstate["o"], sub, horizon)
         return traj["rewards"]
 
-    collect_dt = _time(run_collect, iters)
+    collect_dt = _time(run_collect, iters, trials=3)
     collect_sps = batch / collect_dt
 
     # ---- phase: raw physics tick scan (horizon steps x tick_skip ticks,
@@ -234,7 +251,8 @@ def main():
         return s.ball.pos
 
     st0 = cstate["g"].arena
-    tick_dt = _time(lambda: tick_scan(st0, jax.random.PRNGKey(3)), iters)
+    tick_dt = _time(lambda: tick_scan(st0, jax.random.PRNGKey(3)),
+                    iters, trials=2)
     phases["tick"] = round(tick_dt, 4)
 
     # ---- phase: policy forward scan (horizon batched forwards) ----
@@ -254,7 +272,8 @@ def main():
         return o
 
     policy_dt = _time(
-        lambda: policy_scan(flat_obs, jax.random.PRNGKey(4)), iters)
+        lambda: policy_scan(flat_obs, jax.random.PRNGKey(4)), iters,
+        trials=2)
     phases["policy_forward"] = round(policy_dt, 4)
 
     # derived phases (fusion means sums need not match exactly)

@@ -27,6 +27,27 @@ class PPOLearnerConfig:
     # bf16 params copy for rollout inference (halfPrecModels analog)
     bf16_inference: bool = False
     policy_temperature: float = 1.0
+    # Window-shuffle granularity for the fused train step, in rows. An
+    # optimizer step's gradient is a SUM over its batch, so the shuffle
+    # (GetAllBatchesShuffled, PPOLearner.cpp:103-299) only matters through
+    # the random PARTITION of the window into per-step batches — row order
+    # inside a batch is irrelevant. Permuting contiguous blocks of rows
+    # samples that partition at block granularity, turning the shuffle's
+    # random row gather (measured 105 ms/iter at reference shape on a v5e
+    # — the single hottest op of the learn phase, ~10 GB/s effective) into
+    # contiguous ~45 KB DMAs (~20x faster). Block rows are the same-tick
+    # obs of adjacent envs — with >=4k blocks per batch the partition is
+    # statistically indistinguishable from row-level for these batch
+    # sizes. 1 = exact row-level shuffle (used by parity tests); shapes
+    # not divisible by the block size fall back to row-level.
+    shuffle_block_rows: int = 128
+    # Fused Pallas PPO gradient kernel (ops/pallas_ppo.py): both nets'
+    # fwd+bwd in one pass with activations resident in VMEM — measured
+    # 12 ms vs 34 ms per 524k-row batch on a v5e (the jnp autodiff path
+    # round-trips ~10 GB of activations through HBM). "auto" = on for
+    # TPU f32 learn at large batches; True forces it everywhere (interpret
+    # mode off-TPU — tests); False = always jnp autodiff.
+    fused_grad_kernel: object = "auto"
     measure_gradient_noise: bool = False
     gradient_noise_update_interval: int = 10
     gradient_noise_avg_decay: float = 0.9925

@@ -301,9 +301,14 @@ class Learner:
             from rlgymppo_cpp_tpu.learn.train_step import init_fused_buffer
             template = init_fused_buffer(
                 self._fused_K, cfg.ppo.batch_size, self.obs_size)
-            fbuf = ckpt.load_extra_tree(path, "FUSED_BUFFER", template)
-            if fbuf is not None:
-                self._fused_buffer = fbuf
+            try:
+                fbuf = ckpt.load_extra_tree(path, "FUSED_BUFFER", template)
+            except (KeyError, ValueError):
+                fbuf = None   # pre-ring checkpoint layout: re-warm instead
+            if fbuf is not None and all(
+                    np.asarray(fbuf[k]).shape == template[k].shape
+                    for k in template):
+                self._fused_buffer = jax.tree.map(jnp.asarray, fbuf)
         self._last_save_ts = self.total_timesteps
 
     # -------------------------------------------------------------- pipeline
@@ -401,14 +406,24 @@ class Learner:
         buffer holds K-1 batches they seed the on-device fused buffer."""
         if self._fused_K <= 1 or self._fused_buffer is not None:
             return True
-        need = (self._fused_K - 1) * self.config.ppo.batch_size
+        batch = self.config.ppo.batch_size
+        need = (self._fused_K - 1) * batch
         if self.exp_buffer.cur_size < need:
             return False
         data = self.exp_buffer.data
         end = self.exp_buffer.cur_size
+        # Ring layout: the K-1 warmup batches fill slots 0..K-2 (oldest
+        # first) and the write pointer starts at the empty last slot —
+        # the first fused call overwrites it with fresh experience, so
+        # the window is 100% real from the first fused iteration.
         self._fused_buffer = {
-            k: jnp.asarray(data[k][end - need:end]) for k in
-            ("states", "actions", "log_probs", "values", "advantages")}
+            k: jnp.concatenate([
+                jnp.asarray(data[k][end - need:end]),
+                jnp.zeros((batch,) + data[k].shape[1:],
+                          jnp.asarray(data[k][:1]).dtype)], axis=0)
+            for k in ("states", "actions", "log_probs", "values",
+                      "advantages")}
+        self._fused_buffer["slot"] = jnp.int32(self._fused_K - 1)
         return True
 
     def _iterate_fused(self, report: Report):

@@ -130,26 +130,45 @@ class PPOLearner:
             }
             return loss, metrics
 
-        grad_fn = jax.grad(minibatch_loss, has_aux=True)
+        # The minibatch scan is purely a memory-management device: grads
+        # accumulate across ALL minibatches before the single optimizer
+        # step, so the whole-batch fused kernel computes the identical
+        # update in one pass (activations resident in VMEM instead of
+        # round-tripping HBM; ops/pallas_ppo.py).
+        use_kernel = cfg.fused_grad_kernel is True or (
+            cfg.fused_grad_kernel == "auto"
+            and jax.default_backend() == "tpu"
+            and not cfg.bf16_learn
+            and cfg.batch_size >= 16384)
+        if use_kernel:
+            from rlgymppo_cpp_tpu.ops.pallas_ppo import fused_ppo_grads
+            grads, metrics = fused_ppo_grads(
+                train_state["policy"], train_state["value"], batch,
+                clip_range=cfg.clip_range, ent_coef=cfg.ent_coef,
+                temperature=cfg.policy_temperature,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            grad_fn = jax.grad(minibatch_loss, has_aux=True)
 
-        def scan_body(carry, mb):
-            grads_acc, metrics_acc = carry
-            grads, metrics = grad_fn(
-                (train_state["policy"], train_state["value"]), mb)
-            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
-            metrics_acc = jax.tree.map(jnp.add, metrics_acc, metrics)
-            return (grads_acc, metrics_acc), None
+            def scan_body(carry, mb):
+                grads_acc, metrics_acc = carry
+                grads, metrics = grad_fn(
+                    (train_state["policy"], train_state["value"]), mb)
+                grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+                metrics_acc = jax.tree.map(jnp.add, metrics_acc, metrics)
+                return (grads_acc, metrics_acc), None
 
-        zero_grads = jax.tree.map(
-            jnp.zeros_like, (train_state["policy"], train_state["value"]))
-        zero_metrics = {k: jnp.zeros(()) for k in
-                        ("entropy", "kl", "ratio", "value_loss",
-                         "clip_fraction")}
-        minibatches = jax.tree.map(
-            lambda x: x.reshape(n_mb, mbs, *x.shape[1:]), batch)
-        (grads, metrics), _ = jax.lax.scan(
-            scan_body, (zero_grads, zero_metrics), minibatches)
-        metrics = jax.tree.map(lambda m: m / n_mb, metrics)
+            zero_grads = jax.tree.map(
+                jnp.zeros_like,
+                (train_state["policy"], train_state["value"]))
+            zero_metrics = {k: jnp.zeros(()) for k in
+                            ("entropy", "kl", "ratio", "value_loss",
+                             "clip_fraction")}
+            minibatches = jax.tree.map(
+                lambda x: x.reshape(n_mb, mbs, *x.shape[1:]), batch)
+            (grads, metrics), _ = jax.lax.scan(
+                scan_body, (zero_grads, zero_metrics), minibatches)
+            metrics = jax.tree.map(lambda m: m / n_mb, metrics)
 
         policy_grads, value_grads = grads
         if cfg.measure_gradient_noise:

@@ -17,12 +17,15 @@ replicated (or TP-sharded), XLA turns the minibatch gradient means into
 psums over ICI automatically.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 from rlgymppo_cpp_tpu.learn.rollout import RolloutCollector
 from rlgymppo_cpp_tpu.learn.ppo_learner import _params_vector_norm_diff
 from rlgymppo_cpp_tpu.ops.gae import compute_gae
+from rlgymppo_cpp_tpu.ops.pallas_shuffle import block_gather, block_shuffle
 from rlgymppo_cpp_tpu.ops.welford import welford_std, welford_update_batch
 
 
@@ -41,13 +44,18 @@ def make_train_step(gym, ppo, cfg, horizon, deterministic=False,
     avg_advantage/avg_val_target), and the collector metrics.
 
     `buffer_mult` = exp_buffer_size / batch_size (examplemain.cpp:119 uses
-    3). With K = buffer_mult > 1 the program carries the K-1 previous
-    batches as an on-device experience buffer: each call shuffles the full
-    K-batch window and runs K optimizer steps (one per batch of
-    `batch_size`, gradients accumulated over minibatches within a batch),
-    exactly the reference's GetAllBatchesShuffled loop
-    (PPOLearner.cpp:103-299 + ExperienceBuffer.cpp). With K == 1 `buffer`
-    is an empty dict and a single step consumes the fresh window.
+    3). With K = buffer_mult > 1 the program carries the K most recent
+    batches as an on-device RING buffer (`buffer` holds K*batch rows plus
+    a `slot` pointer): each call overwrites the oldest slot with the fresh
+    batch in place (the buffer arg is DONATED — callers must not reuse the
+    buffer they passed in), then runs K optimizer steps over a random
+    block-partition of the whole window (one step per `batch_size` rows,
+    gradients accumulated over minibatches within a batch) — exactly the
+    reference's GetAllBatchesShuffled loop (PPOLearner.cpp:103-299 +
+    ExperienceBuffer.cpp). Ring order never leaks into the math because
+    the partition is uniform over blocks regardless of slot rotation.
+    With K == 1 `buffer` is an empty dict and a single step consumes the
+    fresh window.
     """
     collector = RolloutCollector(gym, ppo.policy, deterministic=deterministic,
                                  step_metrics_fn=step_metrics_fn,
@@ -62,7 +70,7 @@ def make_train_step(gym, ppo, cfg, horizon, deterministic=False,
 
     K = int(buffer_mult)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(4,))
     def train_step(train_state, gym_state, obs, return_stats, buffer, key):
         k_col, k_shuf = jax.random.split(key)
         rollout_params = train_state["policy"]
@@ -109,11 +117,17 @@ def make_train_step(gym, ppo, cfg, horizon, deterministic=False,
         critic_before = train_state["value"]
 
         if K > 1:
-            # window = K-1 buffered batches (oldest first) + fresh batch
-            window = jax.tree.map(
-                lambda old, new: jnp.concatenate([old, new], axis=0),
-                buffer, batch)
-            new_buffer = jax.tree.map(lambda x: x[total:], window)
+            # Ring write: fresh batch overwrites the oldest slot in place
+            # (the buffer is donated, so this is a 1-batch write, not a
+            # K-batch concat+slide — which cost ~60 ms/iter at reference
+            # shape on a v5e before this layout).
+            slot = buffer["slot"]
+            start = slot * total
+            window = {
+                f: jax.lax.dynamic_update_slice_in_dim(
+                    buffer[f], batch[f], start, axis=0)
+                for f in batch}
+            new_buffer = dict(window, slot=(slot + 1) % K)
         else:
             window = batch
             new_buffer = buffer
@@ -122,30 +136,43 @@ def make_train_step(gym, ppo, cfg, horizon, deterministic=False,
         # shuffle cannot change a single accumulated whole-window update
         # (K == 1 and mini_batch == batch); with K > 1 batches the shuffle
         # decides which rows share an optimizer step, so it is always on
-        # (GetAllBatchesShuffled, ExperienceBuffer.cpp).
+        # (GetAllBatchesShuffled, ExperienceBuffer.cpp). Since each
+        # optimizer step sums its batch's gradients, only the random
+        # partition into batches matters — the shuffle samples it at block
+        # granularity (see PPOLearnerConfig.shuffle_block_rows), and each
+        # optimizer batch gathers its own blocks directly (never
+        # materializing a shuffled copy of the whole window).
         shuffle = K > 1 or ppo_cfg.mini_batch_size not in (
             0, ppo_cfg.batch_size)
+        R = max(int(getattr(ppo_cfg, "shuffle_block_rows", 1)), 1)
+        if total % R != 0:
+            R = 1
+        n_blocks = (K * total) // R
 
         def epoch_body(carry, _):
             ts, k = carry
             if shuffle:
                 k, sub = jax.random.split(k)
-                perm = jax.random.permutation(sub, K * total)
-                w = jax.tree.map(lambda x: x[perm], window)
-            else:
-                w = window
+                perm = jax.random.permutation(sub, n_blocks)
 
             if K > 1:
-                batches = jax.tree.map(
-                    lambda x: x.reshape(K, total, *x.shape[1:]), w)
+                parts = perm.reshape(K, total // R)
 
-                def batch_body(ts, b):
+                def batch_body(ts, idx):
+                    b = {f: block_gather(window[f], idx, R)
+                         for f in window}
                     ts, m = ppo._train_batch(ts, b)
                     return ts, m
 
-                ts, m = jax.lax.scan(batch_body, ts, batches)
+                ts, m = jax.lax.scan(batch_body, ts, parts)
                 m = jax.tree.map(lambda x: jnp.mean(x, axis=0), m)
             else:
+                if shuffle:
+                    keys = sorted(window.keys())
+                    w = dict(zip(keys, block_shuffle(
+                        [window[f] for f in keys], perm, R)))
+                else:
+                    w = window
                 ts, m = ppo._train_batch(ts, w)
             return (ts, k), m
 
@@ -168,15 +195,17 @@ def make_train_step(gym, ppo, cfg, horizon, deterministic=False,
 
 
 def init_fused_buffer(buffer_mult, batch_rows, obs_size):
-    """Zero-filled on-device buffer for the K-1 carried batches. Callers
+    """Zero-filled K-slot ring buffer (+ `slot` write pointer). Callers
     warm it up with real experience (Learner runs the eager path for the
     first K-1 iterations, matching the reference's partially-filled
-    ExperienceBuffer) before switching to the fused step."""
-    rows = (buffer_mult - 1) * batch_rows
+    ExperienceBuffer) before switching to the fused step; the fused step
+    itself writes the fresh batch into `slot` before training."""
+    rows = buffer_mult * batch_rows
     return {
         "states": jnp.zeros((rows, obs_size), jnp.float32),
         "actions": jnp.zeros((rows,), jnp.int32),
         "log_probs": jnp.zeros((rows,), jnp.float32),
         "values": jnp.zeros((rows,), jnp.float32),
         "advantages": jnp.zeros((rows,), jnp.float32),
+        "slot": jnp.int32(0),
     }

@@ -310,7 +310,7 @@ def test_fused_buffered_window_learns():
     # warmup: 1 + 2 eager batch updates; fused: 3 per iteration after
     assert updates_before == [1, 3, 6, 9, 12]
     assert learner._fused_buffer is not None and \
-        learner._fused_buffer["states"].shape[0] == 2 * 128
+        learner._fused_buffer["states"].shape[0] == 3 * 128
     # multi-batch steps make the reported KL nonzero (later batches are
     # evaluated after earlier optimizer steps moved the params)
     assert any(abs(k) > 0 for k in kls[2:])
