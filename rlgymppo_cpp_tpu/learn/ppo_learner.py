@@ -135,9 +135,13 @@ class PPOLearner:
         # step, so the whole-batch fused kernel computes the identical
         # update in one pass (activations resident in VMEM instead of
         # round-tripping HBM; ops/pallas_ppo.py).
+        # "auto" stays off on multi-chip meshes: pallas_call is opaque to
+        # the SPMD partitioner, which would all-gather a sharded batch to
+        # run it replicated — the jnp path shards cleanly there instead.
         use_kernel = cfg.fused_grad_kernel is True or (
             cfg.fused_grad_kernel == "auto"
             and jax.default_backend() == "tpu"
+            and jax.device_count() == 1
             and not cfg.bf16_learn
             and cfg.batch_size >= 16384)
         if use_kernel:
