@@ -305,9 +305,17 @@ class Arena:
                   V3(z, z, jnp.ones_like(ryaw)))
 
         # --- car pre-tick: vehicle sim + control state machine ---
+        # (A single shared per-car grid ctx for all suspension + corner
+        # queries was tried for grid-backed geoms — it broke the
+        # mesh_*_drive goldens by ~10 uu: wheels near the ramp-floor seam
+        # read the EXTRAPOLATED field of the car-center cell, and seam
+        # cells are exactly where trilinear extrapolation is wrong. The
+        # gather-cost fix lives in the tables instead: int16 rows halve
+        # the per-gather tile fetch with 0.06 uu quantization.)
+        geom_ctx = None
         cars, wheels, car_accel, active = core_car.car_pre_tick(
             cars, wheels, controls, geom, self.core_wheel_cfg, mut, dt,
-            (rpos, rrot))
+            (rpos, rrot), geom_ctx)
 
         # --- pad + ball pre-tick ---
         if self.num_pads:
@@ -327,7 +335,7 @@ class Arena:
         cw_dvel, cw_dang, cw_dpos, cw_hit, cw_normal = \
             core_col.car_world_contacts(
                 cars, geom, mut, self.ii_diag, self.hitbox_half_t,
-                self.hitbox_offset_t, dt, active)
+                self.hitbox_offset_t, dt, active, geom_ctx)
 
         cc = core_col.car_car_contacts(
             cars, mut, self.ii_diag, self.hitbox_half_t,

@@ -48,8 +48,13 @@ def make_core_wheel_cfg(wheels_cfg):
     return out
 
 
-def suspension_raycast(cars, cfg, geom):
-    """btVehicleRL::rayCast x4 wheels (btVehicleRL.cpp:118-212)."""
+def suspension_raycast(cars, cfg, geom, geom_ctx=None):
+    """btVehicleRL::rayCast x4 wheels (btVehicleRL.cpp:118-212).
+
+    `geom_ctx`: optional shared per-car grid context (MeshGeom worlds) —
+    one gathered row per CAR serves all four wheel rays in registers
+    instead of one gather per wheel (gathers are the mesh world's entire
+    TPU cost, scripts/mesh_tick_profile.py)."""
     up = cars.rot.u
     radius = cfg["radius4"]
     rest_len = cfg["rest4"]
@@ -63,8 +68,15 @@ def suspension_raycast(cars, cfg, geom):
     ray_len = jnp.broadcast_to(
         rest_len + travel + radius - SUSPENSION_SUBTRACTION_UU, shape)
 
-    hit, t, normal = geom.raycast_core(hard_point, wheel_dir, ray_len,
-                                      for_car=True)
+    if geom_ctx is not None:
+        hit, t, normal = geom.raycast_ctx_core(geom_ctx, hard_point,
+                                               wheel_dir, ray_len)
+    elif hasattr(geom, "suspension_raycast_core"):
+        hit, t, normal = geom.suspension_raycast_core(
+            hard_point, wheel_dir, ray_len)
+    else:
+        hit, t, normal = geom.raycast_core(hard_point, wheel_dir, ray_len,
+                                           for_car=True)
 
     contact_point = hard_point + wheel_dir * t
     trace_len = t
@@ -181,7 +193,7 @@ def apply_wheel_impulses(vel, ang_vel, pos, ray, impulse_forces, cfg, dt,
 
 
 def car_pre_tick(cars, wheels, controls, geom, cfg, mut, dt,
-                 respawn_pos_rot):
+                 respawn_pos_rot, geom_ctx=None):
     """Car::_PreTickUpdate (Car.cpp:58-131) on the core layout.
 
     Returns (cars', wheels', central_accel V3, active mask [P, N]).
@@ -199,7 +211,7 @@ def car_pre_tick(cars, wheels, controls, geom, cfg, mut, dt,
 
     fwd, right, up = cars.rot.f, cars.rot.r, cars.rot.u
 
-    ray = suspension_raycast(cars, cfg, geom)
+    ray = suspension_raycast(cars, cfg, geom, geom_ctx)
     fric_forces = calc_friction_impulses(cars, wheels, ray, mass, dt)
 
     wheels_with_contact = ray["in_contact"]            # [4, P, N]

@@ -52,10 +52,15 @@ SPLIT_IMPULSE_ERP = 0.8
 PENETRATION_SLOP = 1.0
 
 
-def car_world_contacts(cars, geom, mut, ii_diag, half, offset, dt, active):
+def car_world_contacts(cars, geom, mut, ii_diag, half, offset, dt, active,
+                       geom_ctx=None):
     """Hitbox corners vs static world, sequential impulses over the 8
     corners. Returns (dvel V3, dang V3, dpos V3, has_contact,
-    contact_normal V3); dpos is the split-impulse positional push-out."""
+    contact_normal V3); dpos is the split-impulse positional push-out.
+
+    `geom_ctx`: optional shared per-car grid context (MeshGeom) — the
+    tick's single per-car row serves all 8 corner queries, replacing this
+    function's own two (top/bottom) row gathers."""
     inv_mass = 1.0 / mut.car_mass
     ii_apply = rb.make_box_ii(cars.rot, ii_diag)
 
@@ -74,7 +79,9 @@ def car_world_contacts(cars, geom, mut, ii_diag, half, offset, dt, active):
     # never extrapolated across. Gathers are the mesh world's entire cost
     # (scripts/mesh_profile.py), so this is 4x fewer rows + no dirs rows.
     ctx_top = ctx_bot = None
-    if hasattr(geom, "local_ctx_core"):
+    if geom_ctx is not None:
+        ctx_top = ctx_bot = geom_ctx
+    elif getattr(geom, "fast", False) and hasattr(geom, "local_ctx_core"):
         zero2 = jnp.zeros_like(cars.pos.x)
         dz = jnp.abs(cars.rot.mv(V3.of(0.0, 0.0, half[2])).z) \
             + abs(offset[2])

@@ -109,6 +109,16 @@ def _corner_pack_full(dist, dirs_encoded):
     return jnp.asarray(packed.reshape(-1, 32))
 
 
+# int16 fixed-point scales for the packed tables (see MeshGeom.__init__):
+# distances in 1/16 uu steps (band 300 uu -> |q| <= 4800), directions in
+# 1/8192 steps (|v| <= 2 -> |q| <= 16384).
+_Q_DIST = 16.0
+_Q_DIR = 8192.0
+_Q32 = np.concatenate([np.full(8, _Q_DIST, np.float32),
+                       np.full(24, _Q_DIR, np.float32)])
+_INV_Q32 = (1.0 / _Q32).astype(np.float32)
+
+
 class MeshGeom:
     """Distance-grid world. Static arrays; hashable by id; jit-friendly."""
 
@@ -123,7 +133,7 @@ class MeshGeom:
     RAY_STEPS = 4
 
     def __init__(self, dist, dirs, bounds_min, cell,
-                 net_dist=None, net_dirs=None):
+                 net_dist=None, net_dirs=None, fast=True):
         self.dist = jnp.asarray(dist, jnp.float32)          # [X, Y, Z]
         enc = _encode_dirs(dirs, cell)                      # np [X, Y, Z, 3]
         self.dirs = jnp.asarray(enc)
@@ -132,8 +142,43 @@ class MeshGeom:
         self.dims = self.dist.shape
         self.band = float(np.abs(np.asarray(dist)).max())
 
-        self._packed = _corner_pack(dist)
-        self._packed_full = _corner_pack_full(dist, enc)
+        # `fast` (the TRAINING default) trades bounded sub-uu field error
+        # for ~3x fewer gather bytes — the same speed-for-exactness trade
+        # the reference's SuspensionCollisionGrid makes when it
+        # short-circuits suspension rays to analytic planes
+        # (SuspensionCollisionGrid.cpp:124-183):
+        #   - int16 fixed-point packed tables: every random row gather
+        #     fetches a whole XLA (8,128) memory tile regardless of the
+        #     32-value row it wants (scripts/mesh_tick_profile.py pinned
+        #     the mesh world's ENTIRE overhead on that random access —
+        #     with uniform indices it runs at plane-world speed), so
+        #     halving the tile bytes halves the mesh cost. Quantization is
+        #     uniform: 1/16 uu for distances, 1/8192 for directions
+        #     (measured: depth err <= 0.031 uu, ray-t err <= 0.23 uu).
+        #   - pair-shared suspension rays (suspension_raycast_core): one
+        #     gathered row per front/back wheel PAIR instead of per wheel
+        #     (measured vs exact: 0.08% hit mismatches near seam cells,
+        #     mean ray-t err 0.13 uu).
+        # The golden trajectory traces stay on fast=False: they pin the
+        # engine to the compiled reference at sub-uu precision over
+        # thousands of chaotic ticks, where even 0.03 uu of query noise
+        # compounds to tens of uu of divergence; the fast path is pinned
+        # pointwise instead (tests/test_mesh_fast_path.py).
+        self.fast = bool(fast)
+        self.quantized = self.fast
+
+        def pack8(x):
+            if not self.quantized:
+                return x
+            return jnp.round(x * _Q_DIST).astype(jnp.int16)
+
+        def pack32(x):
+            if not self.quantized:
+                return x
+            return jnp.round(x * jnp.asarray(_Q32)).astype(jnp.int16)
+
+        self._packed = pack8(_corner_pack(dist))
+        self._packed_full = pack32(_corner_pack_full(dist, enc))
         X, Y, Z = self.dims
         self._cdims = (X - 1, Y - 1, Z - 1)
 
@@ -146,8 +191,9 @@ class MeshGeom:
             net_enc = _encode_dirs(net_dirs, cell)
             self.net_dist = jnp.asarray(net_dist, jnp.float32)
             self.net_dirs = jnp.asarray(net_enc)
-            self._net_packed = _corner_pack(net_dist)
-            self._net_packed_full = _corner_pack_full(net_dist, net_enc)
+            self._net_packed = pack8(_corner_pack(net_dist))
+            self._net_packed_full = pack32(_corner_pack_full(
+                net_dist, net_enc))
 
     @classmethod
     def from_cmf(cls, paths, bounds_min, bounds_max, dims=(128, 160, 64),
@@ -191,6 +237,12 @@ class MeshGeom:
         return cls(dist, dirs, bmin, cell, net_dist, net_dirs)
 
     # ------------------------------------------------------------- sampling
+
+    def _decode32(self, row):
+        """int16 fixed-point -> f32 (identity for unquantized tables)."""
+        if not self.quantized:
+            return row
+        return row.astype(jnp.float32) * jnp.asarray(_INV_Q32)
 
     def _row_eval(self, row, tx, ty, tz):
         """Trilinear distance + contact normal from one gathered 32-wide
@@ -278,6 +330,8 @@ class MeshGeom:
         """Trilinear distance from one 8-wide corner-row gather — the
         ray-marching fast path (no normal, no dirs gather)."""
         c = jnp.take(packed, flat_idx, axis=0)
+        if self.quantized:
+            c = c.astype(jnp.float32) * (1.0 / _Q_DIST)
         wx1, wy1, wz1 = t[..., 0], t[..., 1], t[..., 2]
         wx0, wy0, wz0 = 1 - wx1, 1 - wy1, 1 - wz1
         return (wx0 * (wy0 * (wz0 * c[..., 0] + wz1 * c[..., 1])
@@ -298,13 +352,14 @@ class MeshGeom:
         Out-of-grid positions clamp to the border (distances there are
         `band`, i.e. no contact)."""
         f, flat_idx, t = self._grid_coords(pos)
-        row = jnp.take(self._packed_full, flat_idx, axis=0)
+        row = self._decode32(jnp.take(self._packed_full, flat_idx, axis=0))
         d, (nx, ny, nz) = self._row_eval(row, t[..., 0], t[..., 1],
                                          t[..., 2])
         n = jnp.stack([nx, ny, nz], axis=-1)
 
         if self.has_net and not for_car:
-            nrow = jnp.take(self._net_packed_full, flat_idx, axis=0)
+            nrow = self._decode32(
+                jnp.take(self._net_packed_full, flat_idx, axis=0))
             nd, (mx, my, mz) = self._row_eval(nrow, t[..., 0], t[..., 1],
                                               t[..., 2])
             nn = jnp.stack([mx, my, mz], axis=-1)
@@ -337,13 +392,15 @@ class MeshGeom:
         iz = jnp.clip(jnp.floor(fz), 0, cz - 1).astype(jnp.int32)
         flat = (ix * cy + iy) * cz + iz
         ctx = {
-            "row": jnp.take(self._packed_full, flat, axis=0),
+            "row": self._decode32(
+                jnp.take(self._packed_full, flat, axis=0)),
             "ox": ix.astype(jnp.float32),
             "oy": iy.astype(jnp.float32),
             "oz": iz.astype(jnp.float32),
         }
         if self.has_net and not for_car:
-            ctx["net_row"] = jnp.take(self._net_packed_full, flat, axis=0)
+            ctx["net_row"] = self._decode32(
+                jnp.take(self._net_packed_full, flat, axis=0))
         return ctx
 
     def _local_weights(self, ctx, pos):
@@ -416,19 +473,12 @@ class MeshGeom:
         d, n = self._sample_core(pos, for_car)
         return radius - d, n
 
-    def raycast_core(self, start, direction, max_len, for_car=False):
-        """Suspension-length rays (< ~2 cells): ONE row gather at the ray
-        segment midpoint, then the whole sphere-trace runs in registers on
-        that cell's (extrapolated) trilinear field. Exact on planar
-        surfaces; on curved ones the extrapolation error over a half-ray
-        (~50 uu) at the arena's tightest fillet (R = 260 uu) is a few uu —
-        inside the golden mesh traces' bounds. Longer rays would need the
-        marching version (see `raycast` below, which keeps it)."""
+    def raycast_ctx_core(self, ctx, start, direction, max_len):
+        """Sphere-trace entirely on a cached ctx row (no gather at all).
+        ctx rows of [P, N] broadcast against [4, P, N] wheel rays, so ONE
+        per-car ctx serves all four suspension rays — the gather count
+        per tick drops from one row per wheel to one per car."""
         from rlgymppo_cpp_tpu.maths.v3 import V3
-        half = max_len * 0.5
-        mid = V3(start.x + direction.x * half, start.y + direction.y * half,
-                 start.z + direction.z * half)
-        ctx = self.local_ctx_core(mid, for_car)
         t = jnp.zeros_like(start.x)
         for _ in range(self.RAY_STEPS):
             p = V3(start.x + direction.x * t, start.y + direction.y * t,
@@ -438,6 +488,67 @@ class MeshGeom:
         p = V3(start.x + direction.x * t, start.y + direction.y * t,
                start.z + direction.z * t)
         d, n = self.eval_local_core(ctx, p)
+        hit = (d < 6.0) & (t < max_len)
+        return hit, jnp.where(hit, t, max_len), n
+
+    def suspension_raycast_core(self, start, direction, max_len):
+        """The 4 wheel rays of each car, [4, P, N]. On the fast path the
+        front pair (wheels 0,1) and back pair (2,3) each share ONE
+        gathered ctx row at the pair's ray midpoint — wheels of a pair
+        sit ~27 uu apart laterally, well inside a cell, so the shared
+        trilinear field is pointwise-exact except in the rare seam cell
+        (measured 0.08% hit mismatches, mean t err 0.13 uu on the golden
+        ramp world). Halves the suspension gather rows. Precondition:
+        lateral cells >= ~40 uu (wheel offsets must stay inside the
+        _local_weights extrapolation clamp) — production bakes use
+        ~64 uu; tests/test_mesh_fast_path.py pins the error envelope at
+        that resolution."""
+        if not self.fast:
+            return self.raycast_core(start, direction, max_len,
+                                     for_car=True)
+        from rlgymppo_cpp_tpu.maths.v3 import V3
+        half = max_len * 0.5
+
+        def pair_mean(c):
+            return jnp.stack([(c[0] + c[1]) * 0.5, (c[2] + c[3]) * 0.5],
+                             axis=0)
+
+        mid = V3(pair_mean(start.x + direction.x * half),
+                 pair_mean(start.y + direction.y * half),
+                 pair_mean(start.z + direction.z * half))
+        ctx2 = self.local_ctx_core(mid, for_car=True)   # [2, P, N, ...]
+        ctx = {k: jnp.repeat(v, 2, axis=0) for k, v in ctx2.items()}
+        return self.raycast_ctx_core(ctx, start, direction, max_len)
+
+    def raycast_core(self, start, direction, max_len, for_car=False):
+        """fast=True — suspension-length rays (< ~2 cells): ONE row gather
+        at the ray segment midpoint, then the whole sphere-trace runs in
+        registers on that cell's (extrapolated) trilinear field. Exact on
+        planar surfaces; near seam cells the extrapolation is off by up to
+        tens of uu for ~0.1% of rays (measured; this is what broke the
+        sub-uu golden traces when it was unconditional).
+
+        fast=False — the exact sphere-trace: every march step re-gathers
+        the field at the CURRENT point, as bullet's raycast walks the real
+        BVH. The golden replayer pins this path."""
+        from rlgymppo_cpp_tpu.maths.v3 import V3
+        if self.fast:
+            half = max_len * 0.5
+            mid = V3(start.x + direction.x * half,
+                     start.y + direction.y * half,
+                     start.z + direction.z * half)
+            ctx = self.local_ctx_core(mid, for_car)
+            return self.raycast_ctx_core(ctx, start, direction, max_len)
+        t = jnp.zeros_like(start.x)
+        for _ in range(self.RAY_STEPS):
+            p = V3(start.x + direction.x * t, start.y + direction.y * t,
+                   start.z + direction.z * t)
+            d = self._sample_dist(
+                jnp.stack([p.x, p.y, p.z], axis=-1), for_car)
+            t = jnp.minimum(t + jnp.maximum(d, 0.0), max_len)
+        p = V3(start.x + direction.x * t, start.y + direction.y * t,
+               start.z + direction.z * t)
+        d, n = self._sample_core(p, for_car)
         hit = (d < 6.0) & (t < max_len)
         return hit, jnp.where(hit, t, max_len), n
 

@@ -112,7 +112,7 @@ def _mesh_ramp_geom():
     if os.path.exists(cache):
         with np.load(cache) as z:
             return MeshGeom(z["dist"], z["dirs"], z["bounds_min"],
-                            z["cell"])
+                            z["cell"], fast=False)
 
     ramp_tris, ramp_verts, _h = load_cmf(
         os.path.join(GOLDEN_DIR, "ramp.cmf"))
@@ -150,7 +150,7 @@ def _mesh_ramp_geom():
         tris, verts, bounds_min, bounds_max, dims=(256, 160, 96))
     np.savez_compressed(cache, dist=dist, dirs=dirs, bounds_min=bmin,
                         cell=cell)
-    return MeshGeom(dist, dirs, bmin, cell)
+    return MeshGeom(dist, dirs, bmin, cell, fast=False)
 
 
 def _hoops_mesh_geom():
@@ -169,7 +169,8 @@ def _hoops_mesh_geom():
     if os.path.exists(cache):
         with np.load(cache) as z:
             return MeshGeom(z["dist"], z["dirs"], z["bounds_min"],
-                            z["cell"], z["net_dist"], z["net_dirs"])
+                            z["cell"], z["net_dist"], z["net_dirs"],
+                            fast=False)
 
     rim_tris, rim_verts, _h = load_cmf(
         os.path.join(GOLDEN_DIR, "hoops_rim.cmf"))
@@ -212,7 +213,8 @@ def _hoops_mesh_geom():
         net_tris, net_verts, bounds_min, bounds_max, dims=dims)
     np.savez_compressed(cache, dist=dist, dirs=dirs, bounds_min=bmin,
                         cell=cell, net_dist=net_dist, net_dirs=net_dirs)
-    return MeshGeom(dist, dirs, bmin, cell, net_dist, net_dirs)
+    return MeshGeom(dist, dirs, bmin, cell, net_dist, net_dirs,
+                    fast=False)
 
 
 def _mesh_fillet_geom():
@@ -227,7 +229,7 @@ def _mesh_fillet_geom():
     if os.path.exists(cache):
         with np.load(cache) as z:
             return MeshGeom(z["dist"], z["dirs"], z["bounds_min"],
-                            z["cell"])
+                            z["cell"], fast=False)
 
     f_tris, f_verts, _h = load_cmf(
         os.path.join(GOLDEN_DIR, "fillet.cmf"))
@@ -263,7 +265,7 @@ def _mesh_fillet_geom():
         tris, verts, bounds_min, bounds_max, dims=(128, 96, 128))
     np.savez_compressed(cache, dist=dist, dirs=dirs, bounds_min=bmin,
                         cell=cell)
-    return MeshGeom(dist, dirs, bmin, cell)
+    return MeshGeom(dist, dirs, bmin, cell, fast=False)
 
 
 def _fillet_analytic_geom():
