@@ -152,6 +152,10 @@ def fused_mlp_probs(params, obs, temperature=1.0, min_prob=1e-11,
             flops=flops, transcendentals=B_pad * A_pad,
             bytes_accessed=4 * (B_pad * O_pad + B_pad * A_pad)
             + 4 * sum(o.size for o in ops)),
+        # big batch tiles blow the default 16 MB scoped-VMEM budget; the
+        # v5e has 128 MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, *ops)
 

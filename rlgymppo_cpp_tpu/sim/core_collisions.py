@@ -89,20 +89,40 @@ def car_world_contacts(cars, geom, mut, ii_diag, half, offset, dt, active,
             cars.pos + V3(zero2, zero2, dz), for_car=True)
         ctx_bot = geom.local_ctx_core(
             cars.pos + V3(zero2, zero2, -dz), for_car=True)
-    # One sequential impulse per corner (bullet solver-iteration analog);
-    # the per-corner deepest plane comes from a gather-free plane loop.
-    for sx, sy, sz in _SIGNS:
-        local = V3.of(sx * half[0] + offset[0],
-                      sy * half[1] + offset[1],
-                      sz * half[2] + offset[2])
-        corner = cars.pos + cars.rot.mv(local)
-        if ctx_top is not None:
-            dist, normal = geom.eval_local_core(
-                ctx_top if sz > 0 else ctx_bot, corner)
-            depth = MESH_MARGIN - dist
-        else:
-            depth, normal = geom.sphere_contact_core(corner, MESH_MARGIN,
-                                                     for_car=True)
+
+    # Depth/normal of all 8 corners in ONE vectorized geometry pass
+    # ([8, P, N] leading corner axis): the plane/grid evaluation loop is
+    # by far the op-count bulk of this function, and the tick is
+    # op-ISSUE-bound on small [P, N] arrays (scripts/tick_profile.py), so
+    # folding the corners into the array instead of the Python loop cuts
+    # its issue count 8x for identical math. Corner depths depend only on
+    # the pre-solve pose, so hoisting them out of the sequential impulse
+    # loop is exact.
+    corners = hitbox_corners(cars.pos, cars.rot, half, offset)  # [8, P, N]
+    if ctx_top is not None:
+        # _SIGNS orders sz fastest: even indices are bottom corners
+        bot = V3(corners.x[0::2], corners.y[0::2], corners.z[0::2])
+        top = V3(corners.x[1::2], corners.y[1::2], corners.z[1::2])
+        dist_b, normal_b = geom.eval_local_core(ctx_bot, bot)
+        dist_t, normal_t = geom.eval_local_core(ctx_top, top)
+        depth8 = jnp.stack(
+            [MESH_MARGIN - dist_b, MESH_MARGIN - dist_t],
+            axis=1).reshape((8,) + dist_b.shape[1:])
+        def _ilv(a, b):
+            return jnp.stack([a, b], axis=1).reshape(
+                (8,) + a.shape[1:])
+        normal8 = V3(_ilv(normal_b.x, normal_t.x),
+                     _ilv(normal_b.y, normal_t.y),
+                     _ilv(normal_b.z, normal_t.z))
+    else:
+        depth8, normal8 = geom.sphere_contact_core(corners, MESH_MARGIN,
+                                                   for_car=True)
+
+    # One sequential impulse per corner (bullet solver-iteration analog)
+    for k in range(8):
+        corner = V3(corners.x[k], corners.y[k], corners.z[k])
+        depth = depth8[k]
+        normal = V3(normal8.x[k], normal8.y[k], normal8.z[k])
         in_contact = (depth > 0.0) & active
 
         rel = corner - cars.pos
@@ -404,31 +424,50 @@ def car_car_contacts(cars, mut, ii_diag, half_extents, offset, dt, active,
     pos_i = cars.pos.expand(1)                        # [P_i, 1, N]
     rot_i = cars.rot.expand(1)
 
-    # corners of j vs box of i, deepest corner via a gather-free loop:
-    # each iteration is fused elementwise work on [P_i, P_j, N]
     pair_shape = (P, P, N)
-    pen_dir = jnp.full(pair_shape, -1.0)
-    contact_dir = V3.zeros(pair_shape)
-    local_best = V3.zeros(pair_shape)
-    fd_best = V3.zeros(pair_shape)
-    for sx, sy, sz in _SIGNS:
-        local_c = V3.of(sx * half[0] + offset[0],
-                        sy * half[1] + offset[1],
-                        sz * half[2] + offset[2])
-        corner_j = (cars.pos + cars.rot.mv(local_c)).expand(0)  # [1, Pj, N]
-        local = rot_i.tmv(corner_j - pos_i) - V3.of(*offset)
-        face_dist = V3(half[0] - jnp.abs(local.x),
-                       half[1] - jnp.abs(local.y),
-                       half[2] - jnp.abs(local.z))
-        inside = (face_dist.x > 0) & (face_dist.y > 0) & (face_dist.z > 0)
-        min_fd = jnp.minimum(face_dist.x,
-                             jnp.minimum(face_dist.y, face_dist.z))
-        pen = jnp.where(inside, min_fd, -1.0)
-        better = pen > pen_dir
-        pen_dir = jnp.where(better, pen, pen_dir)
-        contact_dir = vwhere(better, corner_j, contact_dir)
-        local_best = vwhere(better, local, local_best)
-        fd_best = vwhere(better, face_dist, fd_best)
+    # corners of j vs box of i: ONE vectorized pass on [8, P_i, P_j, N]
+    # (the tick is op-issue-bound on small arrays — scripts/
+    # tick_profile.py — so the 8 corners ride the leading axis instead of
+    # a Python loop), then a 3-level tournament picks the deepest corner.
+    corners_j = hitbox_corners(cars.pos, cars.rot, half, offset)
+    corner_j = V3(corners_j.x[:, None], corners_j.y[:, None],
+                  corners_j.z[:, None])                  # [8, 1, Pj, N]
+    local = rot_i.tmv(corner_j - pos_i) - V3.of(*offset)  # [8, Pi, Pj, N]
+    face_dist = V3(half[0] - jnp.abs(local.x),
+                   half[1] - jnp.abs(local.y),
+                   half[2] - jnp.abs(local.z))
+    inside = (face_dist.x > 0) & (face_dist.y > 0) & (face_dist.z > 0)
+    min_fd = jnp.minimum(face_dist.x,
+                         jnp.minimum(face_dist.y, face_dist.z))
+    pen = jnp.where(inside, min_fd, -1.0)
+
+    corner_b = V3(jnp.broadcast_to(corner_j.x, pen.shape),
+                  jnp.broadcast_to(corner_j.y, pen.shape),
+                  jnp.broadcast_to(corner_j.z, pen.shape))
+    pen_dir, contact_dir, local_best, fd_best = pen, corner_b, local, \
+        face_dist
+    while pen_dir.shape[0] > 1:
+        h = pen_dir.shape[0] // 2
+        better = pen_dir[h:] > pen_dir[:h]   # later corner wins ties NOT
+        # (strict >: keeps the old sequential-chain's first-wins-on-tie)
+        pen_dir = jnp.where(better, pen_dir[h:], pen_dir[:h])
+        contact_dir = vwhere(better,
+                             V3(contact_dir.x[h:], contact_dir.y[h:],
+                                contact_dir.z[h:]),
+                             V3(contact_dir.x[:h], contact_dir.y[:h],
+                                contact_dir.z[:h]))
+        local_best = vwhere(better,
+                            V3(local_best.x[h:], local_best.y[h:],
+                               local_best.z[h:]),
+                            V3(local_best.x[:h], local_best.y[:h],
+                               local_best.z[:h]))
+        fd_best = vwhere(better,
+                         V3(fd_best.x[h:], fd_best.y[h:], fd_best.z[h:]),
+                         V3(fd_best.x[:h], fd_best.y[:h], fd_best.z[:h]))
+    pen_dir = pen_dir[0]
+    contact_dir = V3(contact_dir.x[0], contact_dir.y[0], contact_dir.z[0])
+    local_best = V3(local_best.x[0], local_best.y[0], local_best.z[0])
+    fd_best = V3(fd_best.x[0], fd_best.y[0], fd_best.z[0])
 
     axis_is_x = (fd_best.x <= fd_best.y) & (fd_best.x <= fd_best.z)
     axis_is_y = ~axis_is_x & (fd_best.y <= fd_best.z)

@@ -98,7 +98,8 @@ def main():
 
     # --- stubs (shape-preserving; keep a hair of input use so upstream
     # producers aren't the thing being measured) ---
-    def stub_car_pre(cars, wheels, controls, geom, cfg, mut, dt, respawn):
+    def stub_car_pre(cars, wheels, controls, geom, cfg, mut, dt,
+                     respawn, geom_ctx=None):
         zero3 = V3(jnp.zeros_like(cars.boost), jnp.zeros_like(cars.boost),
                    jnp.zeros_like(cars.boost))
         active = ~cars.is_demoed
@@ -106,7 +107,8 @@ def main():
     timeit("  - car_pre_tick (vehicle sim)",
            [(core_car, "car_pre_tick", stub_car_pre)])
 
-    def stub_cw(cars, geom, mut, ii, half, off, dt, active):
+    def stub_cw(cars, geom, mut, ii, half, off, dt, active,
+                geom_ctx=None):
         z = jnp.zeros_like(cars.boost)
         z3 = V3(z, z, z)
         return z3, z3, z3, jnp.zeros_like(cars.is_demoed), z3
