@@ -317,6 +317,61 @@ def test_fused_buffered_window_learns():
 
 
 @pytest.mark.slow
+def test_deterministic_resume_ring_window(tmp_path):
+    """K=3 window economics: the fused ring buffer (slot pointer + K
+    carried batches) must persist through save/load so a resumed run is
+    bit-identical to an uninterrupted one."""
+    from rlgymppo_cpp_tpu.gym import (
+        Gym, Match, DiscreteAction, DefaultOBS, CombinedReward,
+        VelocityPlayerToBallReward, NoTouchCondition, RandomState,
+    )
+    from rlgymppo_cpp_tpu.learn import Learner, LearnerConfig, \
+        PPOLearnerConfig
+
+    def make_gym():
+        match = Match(
+            reward_fn=CombinedReward([(VelocityPlayerToBallReward(), 1.0)]),
+            terminal_conditions=[NoTouchCondition(50)],
+            obs_builder=DefaultOBS(),
+            action_parser=DiscreteAction(),
+            state_setter=RandomState(True, True, True),
+            team_size=1, spawn_opponents=False,
+        )
+        return Gym(match, num_envs=4, tick_skip=8)
+
+    def make_cfg(load):
+        return LearnerConfig(
+            num_envs=4, timesteps_per_iteration=32, exp_buffer_size=96,
+            ppo=PPOLearnerConfig(batch_size=32, mini_batch_size=0,
+                                 epochs=1, policy_layer_sizes=(16,),
+                                 critic_layer_sizes=(16,)),
+            checkpoint_save_folder=str(tmp_path / "ckpt"),
+            checkpoint_load_folder=str(tmp_path / "ckpt") if load else None,
+            timesteps_per_save=10**9, send_metrics=False,
+            save_buffers=True,
+        )
+
+    gym = make_gym()
+    a = Learner(gym, make_cfg(False))
+    assert a._fused_K == 3
+    a.learn(iterations=4)     # 2 eager warmups + 2 fused (ring active)
+    assert a._fused_buffer is not None and \
+        int(a._fused_buffer["slot"]) == (3 + 1) % 3
+    a.save()
+    a.learn(iterations=2)
+
+    b = Learner(gym, make_cfg(True))
+    assert b._fused_buffer is not None, "ring window must load"
+    assert int(b._fused_buffer["slot"]) == int((3 + 1) % 3)
+    b.learn(iterations=2)
+
+    assert b.total_timesteps == a.total_timesteps
+    for x, y in zip(jax.tree.leaves(a.train_state),
+                    jax.tree.leaves(b.train_state)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.slow
 def test_deterministic_resume(tmp_path):
     """save -> load -> N iterations == uninterrupted run (SURVEY §5.3):
     PRNG key, env state, return stats and buffer all persist."""
