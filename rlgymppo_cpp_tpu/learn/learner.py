@@ -100,7 +100,8 @@ class Learner:
         print(f"Learner: Got obs size {self.obs_size} and "
               f"action amount {self.action_amount}")
 
-        self.ppo = PPOLearner(self.obs_size, self.action_amount, cfg.ppo)
+        self.ppo = PPOLearner(self.obs_size, self.action_amount, cfg.ppo,
+                              mesh=self.mesh)
         self.key, sub = jax.random.split(self.key)
         self.train_state = self.ppo.init(sub)
         if self.mesh is not None:

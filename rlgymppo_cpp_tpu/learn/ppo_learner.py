@@ -22,6 +22,7 @@ import optax
 from rlgymppo_cpp_tpu.learn.config import PPOLearnerConfig
 from rlgymppo_cpp_tpu.models.discrete_policy import DiscretePolicy
 from rlgymppo_cpp_tpu.models.value_estimator import ValueEstimator
+from rlgymppo_cpp_tpu.parallel.mesh import ENV_AXIS, MODEL_AXIS
 
 
 def _global_norm(tree):
@@ -38,7 +39,7 @@ def _params_vector_norm_diff(a, b):
 
 class PPOLearner:
     def __init__(self, obs_size: int, action_amount: int,
-                 config: PPOLearnerConfig, sharding=None):
+                 config: PPOLearnerConfig, sharding=None, mesh=None):
         self.config = config
         if config.mini_batch_size == 0:
             config.mini_batch_size = config.batch_size
@@ -63,6 +64,7 @@ class PPOLearner:
 
         self.cumulative_model_updates = 0
         self.sharding = sharding
+        self.mesh = mesh     # device mesh for the shard_map kernel path
 
         self.grad_noise_tracker = None
         if config.measure_gradient_noise:
@@ -135,22 +137,65 @@ class PPOLearner:
         # step, so the whole-batch fused kernel computes the identical
         # update in one pass (activations resident in VMEM instead of
         # round-tripping HBM; ops/pallas_ppo.py).
-        # "auto" stays off on multi-chip meshes: pallas_call is opaque to
-        # the SPMD partitioner, which would all-gather a sharded batch to
-        # run it replicated — the jnp path shards cleanly there instead.
-        use_kernel = cfg.fused_grad_kernel is True or (
+        #
+        # Multi-chip: pallas_call is opaque to the SPMD partitioner (it
+        # would all-gather a sharded batch to run it replicated), so on a
+        # known mesh the kernel runs PER SHARD under shard_map — each
+        # device computes its rows' gradient mean, then a pmean over the
+        # env axis reproduces the global mean (equal shard sizes). TP
+        # meshes (model axis > 1) keep the jnp path, which shards the
+        # hidden dim cleanly; so does a multi-device run with no mesh
+        # handle to shard_map over.
+        # Decide from the devices that will actually RUN the math: on a
+        # mesh, its devices (the multichip dryrun builds a virtual CPU
+        # mesh while the process's default backend stays the TPU —
+        # JAX_PLATFORMS does not reliably override the site-forced
+        # platform); otherwise the process's default backend.
+        mesh = self.mesh
+        if mesh is not None:
+            n_dev = int(mesh.devices.size)
+            platform = next(iter(mesh.devices.flat)).platform
+        else:
+            n_dev = jax.device_count()
+            platform = jax.default_backend()
+        kernel_ok = cfg.fused_grad_kernel is True or (
             cfg.fused_grad_kernel == "auto"
-            and jax.default_backend() == "tpu"
-            and jax.device_count() == 1
+            and platform == "tpu"
             and not cfg.bf16_learn
             and cfg.batch_size >= 16384)
+        multi_ok = (
+            mesh is not None
+            and mesh.shape.get(MODEL_AXIS, 1) == 1
+            and cfg.batch_size % mesh.shape[ENV_AXIS] == 0)
+        use_kernel = kernel_ok and (n_dev == 1 or multi_ok)
         if use_kernel:
             from rlgymppo_cpp_tpu.ops.pallas_ppo import fused_ppo_grads
-            grads, metrics = fused_ppo_grads(
-                train_state["policy"], train_state["value"], batch,
-                clip_range=cfg.clip_range, ent_coef=cfg.ent_coef,
-                temperature=cfg.policy_temperature,
-                interpret=jax.default_backend() != "tpu")
+            interpret = platform != "tpu"
+
+            def kernel_grads(pp, vp, b):
+                return fused_ppo_grads(
+                    pp, vp, b, clip_range=cfg.clip_range,
+                    ent_coef=cfg.ent_coef,
+                    temperature=cfg.policy_temperature,
+                    interpret=interpret)
+
+            if n_dev == 1:
+                grads, metrics = kernel_grads(
+                    train_state["policy"], train_state["value"], batch)
+            else:
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                def per_shard(pp, vp, b):
+                    out = kernel_grads(pp, vp, b)
+                    return jax.tree.map(
+                        lambda x: jax.lax.pmean(x, ENV_AXIS), out)
+
+                grads, metrics = shard_map(
+                    per_shard, mesh=mesh,
+                    in_specs=(P(), P(), P(ENV_AXIS)),
+                    out_specs=(P(), P()), check_vma=False)(
+                    train_state["policy"], train_state["value"], batch)
         else:
             grad_fn = jax.grad(minibatch_loss, has_aux=True)
 

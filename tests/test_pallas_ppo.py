@@ -159,3 +159,52 @@ def test_train_batch_kernel_path_matches_jnp():
     for k in ("entropy", "kl", "ratio", "value_loss", "clip_fraction"):
         np.testing.assert_allclose(float(m_k[k]), float(m_ref[k]),
                                    rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_kernel_shard_map_matches_single_device():
+    """On a multi-device mesh the kernel runs per shard under shard_map
+    with a pmean over the env axis — the resulting update must equal the
+    single-path jnp computation (8 virtual CPU devices, interpret mode)."""
+    from rlgymppo_cpp_tpu.learn.config import PPOLearnerConfig
+    from rlgymppo_cpp_tpu.learn.ppo_learner import PPOLearner
+    from rlgymppo_cpp_tpu.parallel.mesh import (
+        make_mesh, shard_env_tree, replicated,
+    )
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+
+    B, O, A = 256, 23, 11
+    key = jax.random.PRNGKey(11)
+    ko, ka, kl, kd, kt, ki = jax.random.split(key, 6)
+    batch = {
+        "states": jax.random.normal(ko, (B, O), jnp.float32),
+        "actions": jax.random.randint(ka, (B,), 0, A),
+        "log_probs": jnp.log(1.0 / A) + 0.3 * jax.random.normal(kl, (B,)),
+        "advantages": jax.random.normal(kd, (B,)),
+        "values": jax.random.normal(kt, (B,)),
+    }
+
+    def cfg(flag):
+        return PPOLearnerConfig(
+            policy_layer_sizes=(32, 16), critic_layer_sizes=(32, 16),
+            batch_size=B, mini_batch_size=0, epochs=1,
+            fused_grad_kernel=flag)
+
+    mesh = make_mesh(model_parallel=1)
+    ppo_k = PPOLearner(O, A, cfg(True), mesh=mesh)
+    ts = ppo_k.init(ki)
+    ts_sharded = jax.device_put(ts, replicated(mesh))
+    batch_sharded = shard_env_tree(batch, mesh)
+    ts_k, m_k = ppo_k._train_batch(ts_sharded, batch_sharded)
+
+    ppo_ref = PPOLearner(O, A, cfg(False))
+    ts_ref, m_ref = ppo_ref._train_batch(ppo_ref.init(ki), batch)
+
+    for x, y in zip(jax.tree.leaves(ts_k["policy"]),
+                    jax.tree.leaves(ts_ref["policy"])):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-4, atol=2e-6)
+    for k in ("entropy", "kl", "ratio", "value_loss", "clip_fraction"):
+        np.testing.assert_allclose(float(m_k[k]), float(m_ref[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
