@@ -86,6 +86,10 @@ def make_train_step(gym, ppo, cfg, horizon, deterministic=False,
         B = N * P
         obs_seq = jnp.concatenate(
             [traj["obs"].reshape(T, B, O), last_obs.reshape(1, B, O)], axis=0)
+        # Plain jnp on purpose: XLA fuses a forward-only MLP chain well
+        # (2.7 ms for the [T+1, B] window on a v5e vs 3.7 ms for a fused
+        # Pallas forward — measured; the Pallas win is specific to
+        # fwd+bwd, where autodiff materializes activations to HBM).
         values = ppo.value_net.forward(train_state["value"], obs_seq)
 
         rewards = traj["rewards"].reshape(T, B).astype(jnp.float32)
