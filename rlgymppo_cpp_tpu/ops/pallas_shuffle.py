@@ -1,38 +1,29 @@
-"""Block-permute (experience-window shuffle) as a Pallas TPU kernel.
+"""Block-granular experience-window shuffle/gather.
 
-The fused train step shuffles the K-batch experience window every
+The fused train step re-partitions the K-batch experience window every
 iteration (GetAllBatchesShuffled, PPOLearner.cpp:103-299 /
 ExperienceBuffer.cpp:106-121). Since an optimizer step SUMS its batch's
 gradients, only the random partition of the window into batches matters,
-so the shuffle permutes contiguous blocks of rows (see
-PPOLearnerConfig.shuffle_block_rows). XLA's gather emitter moves those
-blocks at only ~75 GB/s on a v5e even though they are contiguous ~180 KB
-runs (scripts/gather_micro.py; the plain-copy floor is ~320 GB/s). This
-kernel does the same permutation as scalar-prefetched whole-block
-VMEM copies — the permutation lands in SMEM before the grid runs, each
-grid step streams block perm[i] -> output block i, and Mosaic's pipeline
-overlaps the HBM reads/writes — reaching near-copy bandwidth.
+so the shuffle moves contiguous blocks of rows (see
+PPOLearnerConfig.shuffle_block_rows) instead of single rows — measured
+105 ms/iter for the row-level gather at reference shape on a v5e vs
+~18 ms for block-level.
 
-All window fields move in ONE kernel launch (shared grid, one pipeline);
-non-TPU backends and non-aligned shapes fall back to the jnp gather,
-whose numerics are identical (pure data movement, same bits).
+These are deliberately the plain-jnp formulations: XLA's gather emitter
+moves the contiguous block runs at ~65-80 GB/s, and a scalar-prefetched
+Pallas block-permute kernel was measured SLOWER (25.6 ms vs 18.1 ms for
+a 1.57M-row window) — its (1, R, inner) blocks DMA one 356-byte row at a
+time while the XLA gather moves whole 45 KB runs. The dominant win was
+block granularity itself, not the kernel.
 """
 
-import functools
-
-import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(nf, perm_ref, *refs):
-    del perm_ref  # consumed by the index maps
-    for i in range(nf):
-        refs[nf + i][...] = refs[i][...]
-
-
-def _jnp_block_shuffle(fields, perm, R):
+def block_shuffle(fields, perm, R):
+    """Permute blocks of R rows of every array in `fields` (a flat list)
+    by `perm` (int32 [n_blocks]; all arrays share n_blocks = rows // R).
+    Shapes not divisible by R must pass R=1 (exact row-level shuffle)."""
     return [
         x.reshape(x.shape[0] // R, R, *x.shape[1:])[perm]
         .reshape(x.shape) for x in fields
@@ -40,65 +31,9 @@ def _jnp_block_shuffle(fields, perm, R):
 
 
 def block_gather(x, idx, R):
-    """Rows of blocks idx of x: x viewed as [rows//R, R, ...] indexed by
-    idx (int32 [m]), flattened back to [m*R, ...]. This is how each
-    optimizer batch pulls its blocks of the experience window. XLA's
-    gather emitter moves the contiguous R-row runs at ~65-80 GB/s on a
-    v5e — measured FASTER than the scalar-prefetch Pallas block-permute
-    below (18.1 ms vs 25.6 ms for a 1.57M-row window), because the
-    (1, R, inner) Pallas blocks DMA one 356-byte-row at a time while the
-    XLA gather moves whole 45 KB runs; so the plain-jnp form is the
-    production path and the kernel stays as a tested alternative."""
+    """Rows of blocks `idx` of x: x viewed as [rows//R, R, ...] indexed
+    by idx (int32 [m]), flattened back to [m*R, ...]. This is how each
+    optimizer batch pulls its blocks of the experience window."""
     nb = x.shape[0] // R
     return x.reshape(nb, R, *x.shape[1:])[idx].reshape(
         idx.shape[0] * R, *x.shape[1:])
-
-
-@functools.partial(jax.jit, static_argnames=("R", "interpret"))
-def block_shuffle(fields, perm, R, interpret=False):
-    """Permute blocks of R rows of every array in `fields` (a flat list)
-    by `perm` (int32 [n_blocks], all arrays share n_blocks = rows // R).
-
-    Equivalent to x.reshape(nb, R, ...)[perm].reshape(x.shape) for each
-    field — same bits, ~4x faster than XLA's gather at window shapes.
-    """
-    fields = list(fields)
-    rows = fields[0].shape[0]
-    nb = rows // R
-    use_pallas = (interpret or jax.default_backend() == "tpu")
-    # Mosaic needs the block's sublane dim (R) divisible by 8; the lane
-    # dim is the full inner dim of the view, which is always legal.
-    if not use_pallas or rows % R != 0 or R % 8 != 0:
-        return _jnp_block_shuffle(fields, perm, R)
-
-    # View each field as [nb, R, inner]: one grid step moves one block of
-    # R whole rows, so block shape (1, R, inner) has last dim == array
-    # dim (no 128-multiple requirement) and sublane dim R % 8 == 0.
-    views = []
-    for x in fields:
-        inner = 1
-        for s in x.shape[1:]:
-            inner *= s
-        views.append(x.reshape(nb, R, inner))
-
-    def in_map(i, perm):
-        return (perm[i], 0, 0)
-
-    def out_map(i, perm):
-        del perm
-        return (i, 0, 0)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nb,),
-        in_specs=[pl.BlockSpec((1, R, v.shape[2]), in_map) for v in views],
-        out_specs=[pl.BlockSpec((1, R, v.shape[2]), out_map)
-                   for v in views],
-    )
-    out = pl.pallas_call(
-        functools.partial(_kernel, len(views)),
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct(v.shape, v.dtype) for v in views],
-        interpret=interpret,
-    )(perm.astype(jnp.int32), *views)
-    return [o.reshape(x.shape) for o, x in zip(out, fields)]

@@ -145,7 +145,7 @@ def main():
 
     shuf_fn = jax.jit(lambda w, p: pallas_shuffle.block_shuffle(
         [w[f] for f in keys_sorted], p, R)[0])
-    timeit("pallas block_shuffle (all fields)",
+    timeit("jnp block_shuffle (all fields)",
            lambda: shuf_fn(window, perm))
 
     gath_fn = jax.jit(lambda w, p: jax.tree.map(
