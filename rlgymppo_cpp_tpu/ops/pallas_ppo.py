@@ -98,7 +98,7 @@ def _mlp_bwd(dz_last, acts, pre, wb, dwb_refs, step):
             dz = dx * (pre[i - 1] > 0.0).astype(jnp.float32)
 
 
-def _kernel(np_layers, nv_layers, n_rows, n_actions, tile_b, clip_range,
+def _kernel(np_layers, nv_layers, n_rows, tile_b, clip_range,
             ent_coef, inv_temp, min_prob, scratch_weights, *refs):
     """refs = obs, act_f, old_lp, adv, tgt, [policy w/b]*, [critic w/b]*,
               [policy dw/db]*, [critic dw/db]*, metrics,
@@ -234,7 +234,6 @@ def fused_ppo_grads(policy_params, value_params, batch, clip_range,
     v_flat = _flatten_params(value_params)
     wb = p_flat + v_flat
     np_l, nv_l = len(policy_params), len(value_params)
-    A = policy_params[-1]["w"].shape[1]
     grid = (B_pad // tile_b,)
 
     # compiled TPU: params ride a one-time DMA into VMEM scratch (constant
@@ -266,7 +265,7 @@ def fused_ppo_grads(policy_params, value_params, batch, clip_range,
     flops = 3 * 2 * B_pad * sum(o.size for o in wb[::2])
     outs = pl.pallas_call(
         functools.partial(
-            _kernel, np_l, nv_l, B, A, tile_b, float(clip_range),
+            _kernel, np_l, nv_l, B, tile_b, float(clip_range),
             float(ent_coef), 1.0 / float(temperature), float(min_prob),
             scratch_weights),
         grid=grid,
@@ -275,7 +274,7 @@ def fused_ppo_grads(policy_params, value_params, batch, clip_range,
         out_specs=out_specs,
         scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
-            flops=flops, transcendentals=2 * B_pad * A,
+            flops=flops, transcendentals=2 * B_pad * policy_params[-1]["w"].shape[1],
             bytes_accessed=4 * B_pad * (O + 4)
             + 8 * 4 * sum(o.size for o in wb)),
         # two nets' live activations for a big tile exceed the default
