@@ -142,9 +142,7 @@ def main():
         zb = jnp.zeros_like(ball.pos.x)
         zb3 = V3(zb, zb, zb)
         hit = jnp.zeros_like(cars.is_demoed)
-        return (z3, z3, zb3, zb3, zb3, zb3, hit,
-                ball.hit_info if hasattr(ball, "hit_info")
-                else cars.ball_hit_info)
+        return (z3, z3, zb3, zb3, zb3, zb3, hit, cars.ball_hit_info)
     def stub_cb2(cars, ball, mut, gm, ii, half, off, dt, active, tick):
         out = real_cb(cars, ball, mut, gm, ii, half, off, dt, active, tick)
         return out
