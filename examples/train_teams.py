@@ -112,9 +112,16 @@ def main():
         # Kickoff-only eval (reference default) + versions >=10M apart:
         # near-adjacent versions and random-state eval starts flatline the
         # rating even while the policy improves (docs/ELO_DIAGNOSIS.md).
+        # eval_deterministic=False: argmax-vs-argmax team eval collapses
+        # into a handful of deterministic kickoff duels whose outcome
+        # flips with tiny policy drift (bimodal 0/1 win fractions for
+        # millions of steps in the r3 AND r4 recorded runs); sampling
+        # both policies measures distribution-level skill instead
+        # (docs/EVAL_DIAGNOSIS_R5.md)
         skill_tracker=SkillTrackerConfig(
             enabled=True, num_envs=128, update_interval=4,
-            timesteps_per_version=10_000_000, max_versions=8),
+            timesteps_per_version=10_000_000, max_versions=8,
+            eval_deterministic=False),
         checkpoint_save_folder=ckpt_dir,
         checkpoint_load_folder=ckpt_dir,
     )
@@ -139,6 +146,10 @@ def main():
         for k in report:
             if k.startswith(("Skill Rating", "Skill Eval", "Skill Pool")):
                 rec[k.lower().replace(" ", "_")] = round(float(report[k]), 3)
+        if "skill_eval_goals" in rec and lrn.last_skill_eval_stats:
+            rec["skill_eval_per_opponent"] = {
+                str(i): s["win_frac"] for i, s in
+                lrn.last_skill_eval_stats["per_opponent"].items()}
         if log_f:
             log_f.write(json.dumps(rec) + "\n")
             log_f.flush()

@@ -71,6 +71,17 @@ class SkillTrackerConfig:
     # SkillTrackerConfig.h:39-41). Random-state eval starts make goals a
     # state lottery and flatline the rating (docs/ELO_DIAGNOSIS.md).
     kickoff_only: bool = True
+    # Argmax actions for both policies is the reference's eval behavior
+    # (SkillTracker.cpp:103-133) and the default. But argmax-vs-argmax
+    # team eval degenerates into a handful of deterministic kickoff
+    # duels: a tiny policy drift flips the repeated duel from always-win
+    # to always-lose, producing bimodal 0.0/1.0 win fractions for
+    # millions of steps while distribution-level skill is unchanged
+    # (root-caused offline in docs/EVAL_DIAGNOSIS_R5.md: the "collapsed"
+    # r4 3v3 checkpoint loses 1:265 to a pool member under argmax and
+    # beats the same member 18:4 under sampling). Set False for team
+    # self-play runs to measure the policy distribution instead.
+    eval_deterministic: bool = True
 
 
 @dataclasses.dataclass

@@ -113,7 +113,8 @@ class Learner:
         self.return_stats = welford_init(1)
         if self.multi:
             self.collector = MultiGymCollector(
-                gym, self.ppo.policy, deterministic=cfg.deterministic)
+                gym, self.ppo.policy, deterministic=cfg.deterministic,
+                step_metrics_fn=step_metrics_fn)
         else:
             self.collector = RolloutCollector(
                 gym, self.ppo.policy, deterministic=cfg.deterministic,
@@ -132,6 +133,7 @@ class Learner:
         self.total_epochs = 0
         self.iteration_callback = None
         self._last_game_metrics = None
+        self.last_skill_eval_stats = None
 
         # steps per iteration, counted like the reference in player-steps
         if self.multi:
@@ -163,26 +165,42 @@ class Learner:
                          if cfg.ppo.batch_size
                          and cfg.exp_buffer_size % cfg.ppo.batch_size == 0
                          else 0)
-        self._fused_eligible = (
-            not self.multi
-            and not cfg.render_mode
-            and not cfg.ppo.measure_gradient_noise
-            and 1 <= self._fused_K <= 8
-            and self.steps_per_iter * self.players_per_step
-            == cfg.ppo.batch_size)
-        if (not self._fused_eligible and not self.multi
-                and not cfg.render_mode
-                and cfg.ppo.measure_gradient_noise
-                and 1 <= self._fused_K <= 8
-                and self.steps_per_iter * self.players_per_step
-                == cfg.ppo.batch_size):
-            # The diagnostic needs per-minibatch gradients, which only the
-            # eager 3-phase path exposes — flag the throughput cliff
-            # instead of silently dropping off the fused path.
-            print("Learner: WARNING measure_gradient_noise forces the "
-                  "eager (non-fused) train path — this config would "
-                  "otherwise run as one compiled program; expect lower "
-                  "throughput while the diagnostic is on")
+        self._fused_ineligible_reasons = reasons = []
+        if self.multi:
+            reasons.append("multiple gym groups (MultiGymCollector runs "
+                           "per-group rollouts)")
+        if cfg.ppo.measure_gradient_noise:
+            reasons.append("measure_gradient_noise needs per-minibatch "
+                           "gradients, which only the eager path exposes")
+        if self._fused_K < 1:
+            reasons.append(
+                f"exp_buffer_size ({cfg.exp_buffer_size}) is not an "
+                f"integer multiple of batch_size ({cfg.ppo.batch_size})")
+        elif self._fused_K > 8:
+            reasons.append(
+                f"experience window K = exp_buffer_size/batch_size = "
+                f"{self._fused_K} exceeds the fused path's limit of 8 "
+                f"(K shuffled batch passes are unrolled into the one "
+                f"compiled program)")
+        if (self.steps_per_iter * self.players_per_step
+                != cfg.ppo.batch_size):
+            reasons.append(
+                f"timesteps per iteration ({self.steps_per_iter} steps x "
+                f"{self.players_per_step} players = "
+                f"{self.steps_per_iter * self.players_per_step}) != "
+                f"batch_size ({cfg.ppo.batch_size}); the fused program "
+                f"consumes exactly one collected batch per iteration")
+        self._fused_eligible = not cfg.render_mode and not reasons
+        if reasons and not cfg.render_mode:
+            # Dropping off the fused path is a multi-x throughput cliff
+            # (host round trips between collect, GAE and PPO) — name every
+            # cause instead of silently taking the eager path (the
+            # reference prints its config overrides too, Learner.cpp:38-51)
+            print("Learner: WARNING config is not eligible for the fused "
+                  "single-program train path; using the eager 3-phase "
+                  "path (expect lower throughput). Reasons:")
+            for r in reasons:
+                print(f"  > {r}")
 
         if cfg.checkpoint_load_folder:
             self.load()
@@ -486,6 +504,9 @@ class Learner:
                 report["Skill Eval Win Fraction"] = \
                     stats["cur_goal_fraction"]
                 report["Skill Pool Spread"] = stats["pool_rating_spread"]
+                # full stats (incl. per-opponent head-to-head) stay
+                # readable by the iteration callback
+                self.last_skill_eval_stats = stats
                 self.skill_tracker.last_eval_stats = None
 
         if self.iteration_callback:
@@ -612,11 +633,19 @@ class Learner:
                 col_host["avg_step_reward"])
             report["Average Episode Reward"] = float(
                 col_host["avg_episode_reward"])
+            groups = col_host.pop("groups", None)
             self._last_game_metrics = {
                 k: float(v) for k, v in col_host.items()}
+            if groups is not None:
+                # Per-group breakdown (Learner.cpp:709-721 grants user
+                # callbacks per-game metric access; per config group is
+                # the on-device granularity)
+                self._last_game_metrics["groups"] = {
+                    name: {k: float(v) for k, v in g.items()}
+                    for name, g in groups.items()}
             for k, v in self._last_game_metrics.items():
                 if k not in ("avg_step_reward", "avg_episode_reward",
-                             "episodes_finished"):
+                             "episodes_finished", "groups"):
                     report[k] = v
 
             # ---- consumption ----
@@ -684,5 +713,8 @@ class Learner:
         """Learner::GetAllGameMetrics analog: the last iteration's
         collector metrics (per-iteration aggregates rather than the
         reference's per-game Report list — lockstep envs aggregate on
-        device)."""
+        device). MultiGym runs additionally report a per-group breakdown
+        under "groups": {mode_name: {metric: value}} — the on-device
+        analog of mining the per-game Report list (Learner.cpp:709-721)
+        for heterogeneous setups."""
         return dict(self._last_game_metrics or {})

@@ -158,7 +158,14 @@ class PPOLearner:
         else:
             n_dev = jax.device_count()
             platform = jax.default_backend()
-        kernel_ok = cfg.fused_grad_kernel is True or (
+        if cfg.fused_grad_kernel is True and cfg.bf16_learn:
+            # The kernel computes in f32 only; honoring the force flag
+            # would silently ignore the configured bf16 compute dtype.
+            print("PPOLearner: WARNING fused_grad_kernel=True ignored "
+                  "because bf16_learn is set (the fused kernel is "
+                  "f32-only); using the jnp bf16 path")
+        kernel_ok = (cfg.fused_grad_kernel is True
+                     and not cfg.bf16_learn) or (
             cfg.fused_grad_kernel == "auto"
             and platform == "tpu"
             and not cfg.bf16_learn
@@ -168,6 +175,12 @@ class PPOLearner:
             and mesh.shape.get(MODEL_AXIS, 1) == 1
             and cfg.batch_size % mesh.shape[ENV_AXIS] == 0)
         use_kernel = kernel_ok and (n_dev == 1 or multi_ok)
+        # Trace-time record of which gradient path this program took —
+        # read by the driver dryrun so MULTICHIP logs name the path
+        # actually exercised (VERDICT r4 item 5)
+        self.grad_path = (
+            "pallas_kernel+shard_map" if use_kernel and n_dev > 1
+            else "pallas_kernel" if use_kernel else "jnp_autodiff")
         if use_kernel:
             from rlgymppo_cpp_tpu.ops.pallas_ppo import fused_ppo_grads
             interpret = platform != "tpu"

@@ -29,7 +29,8 @@ class MultiGymCollector:
     and action_amount.
     """
 
-    def __init__(self, gyms, policy, deterministic=False):
+    def __init__(self, gyms, policy, deterministic=False,
+                 step_metrics_fn=None):
         self.gyms = list(gyms)
         sizes = {g.obs_size for g in self.gyms}
         if len(sizes) != 1:
@@ -44,7 +45,26 @@ class MultiGymCollector:
         self.players_per_step = sum(
             g.num_envs * g.num_players for g in self.gyms)
         self.collectors = [
-            RolloutCollector(g, policy, deterministic) for g in self.gyms]
+            RolloutCollector(g, policy, deterministic,
+                             step_metrics_fn=step_metrics_fn)
+            for g in self.gyms]
+        # Group labels for per-group metrics (GetAllGameMetrics,
+        # Learner.cpp:709-721 returns per-game Reports; we report per
+        # config GROUP — the finest granularity that exists on a lockstep
+        # batch). Mode name per SkillTracker.cpp:19-25, suffixed when two
+        # groups share a mode.
+        names = []
+        for g in self.gyms:
+            m = g.match
+            base = (f"{m.team_size}v{m.team_size}" if m.spawn_opponents
+                    else f"{m.team_size}v0")
+            name = base
+            i = 1
+            while name in names:
+                name = f"{base}#{i}"
+                i += 1
+            names.append(name)
+        self.group_names = names
 
     def reset(self, key):
         states, obs = [], []
@@ -78,6 +98,9 @@ class MultiGymCollector:
                 m["avg_episode_reward"] for m in metrics) / len(metrics),
             "episodes_finished": sum(
                 m["episodes_finished"] for m in metrics),
+            # per-group breakdown, consumed by Learner.get_all_game_metrics
+            "groups": {name: dict(m) for name, m
+                       in zip(self.group_names, metrics)},
         }
         return new_states, new_obs, traj, avg
 

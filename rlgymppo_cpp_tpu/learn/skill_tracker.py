@@ -107,15 +107,18 @@ class SkillTracker:
 
     # ------------------------------------------------------------ eval scan
 
-    @functools.partial(jax.jit, static_argnames=("self", "num_steps"))
+    @functools.partial(jax.jit, static_argnames=("self", "num_steps",
+                                                 "deterministic"))
     def _eval_rollout(self, cur_params, old_stack, gym_state, obs,
-                      team_swap, old_idx, num_valid, key, num_steps):
+                      team_swap, old_idx, num_valid, key, num_steps,
+                      deterministic=True):
         """Lockstep eval of all envs for num_steps.
 
         old_stack: param pytree with a constant [max_versions] leading
         axis, entries >= num_valid being padding (never sampled).
         team_swap [N] bool: True -> old policy plays blue. Returns
-        per-step goal records.
+        per-step goal records. `deterministic=False` samples both
+        policies (config.eval_deterministic rationale).
         """
         gym = self.gym
         N, P, O = gym.num_envs, gym.num_players, gym.obs_size
@@ -123,16 +126,16 @@ class SkillTracker:
 
         def body(carry, _):
             gym_state, obs, team_swap, old_idx, key = carry
-            key, k_step, k_reset = jax.random.split(key, 3)
+            key, k_step, k_reset, k_cur, k_old = jax.random.split(key, 5)
 
             flat_obs = obs.reshape(N * P, O)
             cur_act, _ = self.policy.get_action(
-                cur_params, flat_obs, None, deterministic=True)
+                cur_params, flat_obs, k_cur, deterministic=deterministic)
             per_env_old = jax.tree.map(lambda x: x[old_idx], old_stack)
             old_act = jax.vmap(
-                lambda p, o: self.policy.get_action(
-                    p, o, None, deterministic=True)[0]
-            )(per_env_old, obs)                        # [N, P]
+                lambda p, o, k: self.policy.get_action(
+                    p, o, k, deterministic=deterministic)[0]
+            )(per_env_old, obs, jax.random.split(k_old, N))  # [N, P]
             cur_act = cur_act.reshape(N, P)
 
             # old plays blue when team_swap; player is blue when teams==0
@@ -216,7 +219,8 @@ class SkillTracker:
         self._gym_state, self._obs, self._team_swap, self._old_idx, recs = \
             self._eval_rollout(cur_params, old_stack, self._gym_state,
                                self._obs, self._team_swap, self._old_idx,
-                               jnp.int32(num_valid), sub, num_steps)
+                               jnp.int32(num_valid), sub, num_steps,
+                               deterministic=cfg.eval_deterministic)
 
         scored = np.asarray(recs["scored"])          # [T, N]
         cur_scored = np.asarray(recs["cur_scored"])
@@ -224,14 +228,19 @@ class SkillTracker:
         rating_before = self.cur_rating[self.mode]
         cur_goals = 0
         total_goals = int(scored.sum())
+        per_opp = {}                  # version idx -> [cur_goals, opp_goals]
         k_eff = self.config.rating_inc * min(
             1.0, self.REFERENCE_GOALS_PER_EVAL / max(total_goals, 1))
         for t, n in zip(*np.nonzero(scored)):
-            rating_old = self.old_ratings[old_idx[t, n]]
+            idx = int(old_idx[t, n])
+            rating_old = self.old_ratings[idx]
+            pair = per_opp.setdefault(idx, [0, 0])
             if cur_scored[t, n]:
                 cur_goals += 1
+                pair[0] += 1
                 self._update_ratings(self.cur_rating, rating_old, k_eff)
             else:
+                pair[1] += 1
                 self._update_ratings(rating_old, self.cur_rating, k_eff)
 
         # Eval-volume diagnostics: a flat rating is only meaningful if the
@@ -247,6 +256,13 @@ class SkillTracker:
             "pool_rating_spread": (
                 max(r[self.mode] for r in self.old_ratings)
                 - min(r[self.mode] for r in self.old_ratings)),
+            # per-version head-to-head: which pool members the current
+            # policy is actually losing its eval goals to (VERDICT r4
+            # item 1 instrumentation)
+            "per_opponent": {
+                idx: {"cur_goals": c, "opp_goals": o,
+                      "win_frac": c / (c + o) if c + o else 0.5}
+                for idx, (c, o) in sorted(per_opp.items())},
         }
 
         self._advance_version(cur_params, timesteps_delta)

@@ -448,8 +448,13 @@ def car_car_contacts(cars, mut, ii_diag, half_extents, offset, dt, active,
         face_dist
     while pen_dir.shape[0] > 1:
         h = pen_dir.shape[0] // 2
-        better = pen_dir[h:] > pen_dir[:h]   # later corner wins ties NOT
-        # (strict >: keeps the old sequential-chain's first-wins-on-tie)
+        better = pen_dir[h:] > pen_dir[:h]
+        # Strict > makes the lower half win ties within each halving
+        # round. For non-adjacent tied maxima this can pick a different
+        # corner than a sequential first-wins chain would (e.g. ties at
+        # indices 1 and 2 fold to 2) — acceptable: exact ties on float
+        # penetration depth are measure-zero in live physics, and the
+        # golden traces pass either way.
         pen_dir = jnp.where(better, pen_dir[h:], pen_dir[:h])
         contact_dir = vwhere(better,
                              V3(contact_dir.x[h:], contact_dir.y[h:],

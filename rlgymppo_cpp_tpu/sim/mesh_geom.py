@@ -166,6 +166,16 @@ class MeshGeom:
         # pointwise instead (tests/test_mesh_fast_path.py).
         self.fast = bool(fast)
         self.quantized = self.fast
+        if self.quantized:
+            # int16 range guard: distances are stored as round(d*16)
+            # int16, so a bake whose band exceeds 32767/16 ~ 2047 uu
+            # would silently wrap and corrupt the fast-path field.
+            # Directions are bounded by construction (|v| <= 2 ->
+            # |q| <= 16384 < 32767).
+            assert self.band * _Q_DIST <= 32767.0, (
+                f"fast=True int16 packing needs band <= "
+                f"{32767.0 / _Q_DIST:.0f} uu, got {self.band:.0f}; "
+                f"use fast=False or rebake with a narrower band")
 
         def pack8(x):
             if not self.quantized:

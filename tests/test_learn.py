@@ -233,11 +233,13 @@ def test_fused_learner_path(tmp_path):
                for a, b in zip(p_before, p_after))
 
 
-def test_fused_ineligible_configs():
+def test_fused_ineligible_configs(capsys):
     """A buffer that is NOT an integer multiple of the batch cannot run
     fused (the on-device window carries whole batches only); an integer
     multiple (examplemain.cpp:119 uses 3x) fuses with the window carried
-    on device."""
+    on device. Every ineligibility cause must be WARNED about with its
+    reason — dropping off the fused path is a silent multi-x throughput
+    cliff otherwise (VERDICT r4 item 7)."""
     from rlgymppo_cpp_tpu.gym import (
         Gym, Match, DiscreteAction, DefaultOBS, CombinedReward,
         VelocityPlayerToBallReward, NoTouchCondition, RandomState,
@@ -263,9 +265,44 @@ def test_fused_ineligible_configs():
             checkpoint_load_folder=None, send_metrics=False,
         )
 
-    assert not Learner(gym, make_cfg(300))._fused_eligible
+    # non-integer window: warned with the K reason
+    lrn = Learner(gym, make_cfg(300))
+    assert not lrn._fused_eligible
+    assert any("integer multiple" in r
+               for r in lrn._fused_ineligible_reasons)
+    out = capsys.readouterr().out
+    assert "WARNING config is not eligible for the fused" in out
+    assert "integer multiple" in out
+
     learner = Learner(gym, make_cfg(256))
     assert learner._fused_eligible and learner._fused_K == 2
+    assert "WARNING config is not eligible" not in capsys.readouterr().out
+
+    # K > 8: unrolled batch passes would blow up the compiled program
+    lrn = Learner(gym, make_cfg(128 * 10))
+    assert not lrn._fused_eligible
+    out = capsys.readouterr().out
+    assert "exceeds the fused path's limit of 8" in out
+
+    # ts/iter != batch_size
+    cfg = make_cfg(256)
+    cfg.timesteps_per_iteration = 64
+    lrn = Learner(gym, cfg)
+    assert not lrn._fused_eligible
+    assert "!= \nbatch_size" not in capsys.readouterr().out  # sanity
+    assert any("batch_size" in r for r in lrn._fused_ineligible_reasons)
+
+    # measure_gradient_noise
+    cfg = make_cfg(256)
+    cfg.ppo.measure_gradient_noise = True
+    lrn = Learner(gym, cfg)
+    assert not lrn._fused_eligible
+    assert "measure_gradient_noise" in capsys.readouterr().out
+
+    # multiple gym groups
+    lrn = Learner([gym, gym], make_cfg(256))
+    assert not lrn._fused_eligible
+    assert "gym groups" in capsys.readouterr().out
 
 
 @pytest.mark.slow

@@ -77,6 +77,25 @@ def test_learner_with_groups(tmp_path):
     assert learner.total_timesteps == 2 * (64 // 16) * 16
     assert learner.ppo.cumulative_model_updates > 0
 
+    # Per-group metric breakdown (VERDICT r4 item 8; Learner.cpp:709-721
+    # returns per-game Reports — per config group is the on-device
+    # granularity). Two groups must report DISTINCT metric dicts.
+    gm = learner.get_all_game_metrics()
+    assert set(gm["groups"]) == {"1v1", "2v2"}
+    for name, g in gm["groups"].items():
+        assert "avg_step_reward" in g and "avg_episode_reward" in g
+    a, b = gm["groups"]["1v1"], gm["groups"]["2v2"]
+    assert a["avg_step_reward"] != b["avg_step_reward"]
+
+
+def test_multi_gym_group_names():
+    """Group labels follow SkillTracker.cpp:19-25 mode naming, with a
+    #N suffix when two groups share a mode."""
+    g1, g2, g3 = make_gym(1, 2), make_gym(1, 2), make_gym(2, 2)
+    policy = DiscretePolicy(g1.obs_size, g1.action_amount, (16,))
+    col = MultiGymCollector([g1, g2, g3], policy)
+    assert col.group_names == ["1v1", "1v1#1", "2v2"]
+
 
 def _tiny_state(P=4, **overrides):
     """Minimal hand-set GameState (N=1) for reward unit tests."""

@@ -84,3 +84,29 @@ def test_run_games_smoke():
     tr2.load_state_dict(sd, old_params=tr.old_params)
     assert tr2.cur_rating == tr.cur_rating
     assert len(tr2.old_params) == 2
+
+    # per-opponent head-to-head instrumentation exists and is consistent
+    stats = tr.last_eval_stats
+    if stats is not None and stats["goals"]:
+        total = sum(s["cur_goals"] + s["opp_goals"]
+                    for s in stats["per_opponent"].values())
+        assert total == stats["goals"]
+
+
+@pytest.mark.slow   # shares the eval-gym compile family (~1 min extra)
+def test_run_games_sampled_eval():
+    """eval_deterministic=False (docs/EVAL_DIAGNOSIS_R5.md): sampled
+    actions for both policies — the rollout must accept the separate
+    compile and still produce ratings + per-opponent stats."""
+    match = make_match()
+    policy = DiscretePolicy(89, 90, (16,))
+    params = policy.init(jax.random.PRNGKey(0))
+    cfg = SkillTrackerConfig(
+        enabled=True, num_envs=3, max_eval_seconds=3.0,
+        timesteps_per_version=100, max_versions=2, rating_inc=5.0,
+        kickoff_only=True, eval_deterministic=False)
+    tr = SkillTracker(cfg, match, policy)
+    ratings = tr.run_games(params, timesteps_delta=60)
+    assert "1v1" in ratings
+    assert tr.last_eval_stats is not None
+    assert "per_opponent" in tr.last_eval_stats
