@@ -43,7 +43,7 @@ import time
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.expanduser("~"), ".cache", "rlgymppo_tpu", "jax"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import jax
 import jax.numpy as jnp
@@ -182,8 +182,11 @@ def main():
     iters = 5 if platform == "tpu" else 2
 
     cfg = LearnerConfig(num_envs=num_envs)
+    # bf16_inference: rollout infers with a bf16 param copy (the
+    # halfPrecModels analog) — curve-parity checked at the round-2 shape
+    # (docs_learning_check_plane_bf16_r5.jsonl); learn stays f32
     cfg.ppo = PPOLearnerConfig(batch_size=batch, epochs=1,
-                               mini_batch_size=0)
+                               mini_batch_size=0, bf16_inference=True)
     ppo = PPOLearner(gym.obs_size, gym.action_amount, cfg.ppo)
     train_state = ppo.init(jax.random.PRNGKey(0))
     return_stats = welford_init(1)
@@ -221,7 +224,9 @@ def main():
 
     # ---- collection only ----
     collector = RolloutCollector(gym, ppo.policy)
-    params = train_state["policy"]
+    # same bf16 param copy the fused step's rollout uses
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                          train_state["policy"])
     cstate = {"g": gym_state, "o": obs, "k": key}
 
     def run_collect():
@@ -308,6 +313,7 @@ def main():
         "collection_steps_per_sec": round(collect_sps, 1),
         "collection_vs_baseline": round(collect_sps / BASELINE_SPS, 3),
         "phases": phases,
+        "bf16_inference": True,
         "mfu": {"policy_forward": round(mfu_policy, 4) if mfu_policy
                 else None,
                 "gae_update": round(mfu_learn, 4) if mfu_learn else None,

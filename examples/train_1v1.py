@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 # Persistent compile cache: the first arena-step compile is slow
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/tmp/rlgymppo_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 from rlgymppo_cpp_tpu.gym import (
     Gym, Match, DiscreteAction, DefaultOBS, CombinedReward, EventReward,
@@ -76,8 +76,13 @@ def main():
                          "primitives — the realistic curved arena at "
                          "~9x the SDF mesh world's training speed "
                          "(arena_geom.make_soccar_geom(fillets=True))")
+    ap.add_argument("--game-mode", default=None,
+                    choices=("soccar", "hoops", "heatseeker", "snowday"),
+                    help="game mode (GameMode.h:6-16; per-mode mutator "
+                         "defaults applied by the arena, "
+                         "MutatorConfig.cpp:29-34)")
     ap.add_argument("--hoops", action="store_true",
-                    help="hoops mode; with --mesh uses the generated "
+                    help="alias for --game-mode hoops; with --mesh uses "
                          "basket rim + ball-only net meshes "
                          "(sim/hoops_mesh.py)")
     ap.add_argument("--log", default=None,
@@ -131,7 +136,14 @@ def main():
         cfg.ppo.mini_batch_size = ts_per_itr // 4
 
     from rlgymppo_cpp_tpu.sim.arena import GameMode
-    game_mode = GameMode.HOOPS if args.hoops else GameMode.SOCCAR
+    if args.hoops:
+        args.game_mode = "hoops"
+    game_mode = {None: GameMode.SOCCAR,
+                 "soccar": GameMode.SOCCAR,
+                 "hoops": GameMode.HOOPS,
+                 "heatseeker": GameMode.HEATSEEKER,
+                 "snowday": GameMode.SNOWDAY}[args.game_mode]
+    args.hoops = game_mode == GameMode.HOOPS
     geom = None
     if args.mesh and args.hoops:
         from rlgymppo_cpp_tpu.sim.hoops_mesh import make_hoops_mesh_geom

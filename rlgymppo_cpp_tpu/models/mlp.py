@@ -39,7 +39,15 @@ def mlp_init(key, sizes):
 
 
 def mlp_apply(params, x, compute_dtype=None):
-    """Forward: Linear+ReLU x (n-1), then Linear. Accumulates in f32."""
+    """Forward: Linear+ReLU x (n-1), then Linear. Accumulates in f32.
+
+    bf16 params imply bf16 compute: the bf16_inference path hands this a
+    bfloat16 param copy (train_step.py); without this rule the f32
+    activations would PROMOTE the dot back to f32 (jnp mixed-precision
+    promotion) and the cast would buy nothing."""
+    if compute_dtype is None and params and \
+            params[0]["w"].dtype == jnp.bfloat16:
+        compute_dtype = jnp.bfloat16
     orig_dtype = x.dtype
     if compute_dtype is not None:
         x = x.astype(compute_dtype)

@@ -102,6 +102,10 @@ def fused_mlp_probs(params, obs, temperature=1.0, min_prob=1e-11,
     """
     B, O = obs.shape
     A = params[-1]["w"].shape[1]
+    if compute_dtype is None and params[0]["w"].dtype == jnp.bfloat16:
+        # bf16 params imply bf16 compute (same rule as mlp_apply): the
+        # bf16_inference rollout hands bf16 param copies with f32 obs
+        compute_dtype = jnp.bfloat16
     O_pad = _round_up(O, LANE)
     A_pad = _round_up(A, LANE)
     tile_b = min(tile_b, _round_up(B, 8))

@@ -6,7 +6,7 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/tmp/rlgymppo_tpu_jax_cache_dev")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 

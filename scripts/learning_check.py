@@ -15,7 +15,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/tmp/rlgymppo_tpu_jax_cache_dev")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 from rlgymppo_cpp_tpu.gym import (
     Gym, Match, DiscreteAction, DefaultOBS, CombinedReward,
@@ -39,6 +39,13 @@ def main():
     ap.add_argument("--skill-tracker", action="store_true")
     ap.add_argument("--ts-base", type=int, default=50_000,
                     help="approximate timesteps per iteration")
+    ap.add_argument("--shuffle-block-rows", type=int, default=None,
+                    help="override ppo.shuffle_block_rows (1 = exact "
+                         "row-level GetAllBatchesShuffled; default 128 "
+                         "block partition) for curve A/Bs")
+    ap.add_argument("--bf16-inference", action="store_true",
+                    help="rollout infers with a bf16 param copy "
+                         "(halfPrecModels analog) for curve parity runs")
     args = ap.parse_args()
 
     match = Match(
@@ -71,11 +78,14 @@ def main():
         exp_buffer_size=ts_per_itr,
         ppo=PPOLearnerConfig(
             batch_size=ts_per_itr, mini_batch_size=0, epochs=2,
-            ent_coef=0.01, policy_lr=2e-4, critic_lr=2e-4),
+            ent_coef=0.01, policy_lr=2e-4, critic_lr=2e-4,
+            bf16_inference=args.bf16_inference),
         standardize_returns=True,
         send_metrics=False,
         checkpoint_save_folder=None, checkpoint_load_folder=None,
     )
+    if args.shuffle_block_rows is not None:
+        cfg.ppo.shuffle_block_rows = args.shuffle_block_rows
     if args.skill_tracker:
         from rlgymppo_cpp_tpu.learn.config import SkillTrackerConfig
         cfg.skill_tracker = SkillTrackerConfig(

@@ -21,7 +21,7 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.expanduser("~"), ".cache", "rlgymppo_tpu", "jax"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import jax  # noqa: E402
@@ -50,3 +50,59 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if "slow" in item.keywords:
             item.add_marker(skip_slow)
+
+
+# ---------------------------------------------------------------- budget
+# Per-test duration report + fast-tier wall budget (VERDICT r4 item 9).
+# Durations land in .test_durations.json next to this file after every
+# run; the 15 slowest tests print in the terminal summary. The fast tier
+# (no --runslow) must stay under RLG_TEST_BUDGET_S seconds (default 600).
+# The budget FAILS the session only when the compile cache was warm — a
+# cold cache spends minutes jit-compiling the arena step, which says
+# nothing about test bloat; warmth is inferred from the slowest single
+# test staying under RLG_TEST_COLD_THRESHOLD_S (default 150).
+
+_durations = {}
+
+
+def pytest_runtest_logreport(report):
+    if report.when == "call":
+        _durations[report.nodeid] = _durations.get(report.nodeid, 0.0) \
+            + report.duration
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    import json
+    import os as _os
+    if not _durations:
+        return
+    here = _os.path.dirname(__file__)
+    ranked = sorted(_durations.items(), key=lambda kv: -kv[1])
+    with open(_os.path.join(here, ".test_durations.json"), "w") as f:
+        json.dump({"total_s": round(sum(_durations.values()), 1),
+                   "runslow": bool(config.getoption("--runslow")),
+                   "durations": {k: round(v, 2) for k, v in ranked}},
+                  f, indent=1)
+    tr = terminalreporter
+    tr.write_sep("-", "slowest tests (tests/.test_durations.json)")
+    for nodeid, dur in ranked[:15]:
+        tr.write_line(f"{dur:8.2f}s  {nodeid}")
+    total = sum(_durations.values())
+    tr.write_line(f"{total:8.2f}s  TOTAL (test call time)")
+
+    if not config.getoption("--runslow"):
+        budget = float(_os.environ.get("RLG_TEST_BUDGET_S", "600"))
+        cold = float(_os.environ.get("RLG_TEST_COLD_THRESHOLD_S", "150"))
+        slowest = ranked[0][1] if ranked else 0.0
+        if total > budget and slowest < cold:
+            tr.write_line(
+                f"FAST-TIER BUDGET EXCEEDED: {total:.0f}s > {budget:.0f}s "
+                f"with a warm compile cache — trim or slow-mark the "
+                f"offenders above", red=True)
+            config._budget_exceeded = True
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if getattr(session.config, "_budget_exceeded", False) \
+            and exitstatus == 0:
+        session.exitstatus = 1

@@ -60,6 +60,37 @@ def test_bf16_compute(setup):
                                atol=1e-2)
 
 
+def test_bf16_params_imply_bf16_compute(setup):
+    """The bf16_inference rollout hands a bf16 PARAM COPY with f32 obs
+    (train_step.py:77-81). Both forward paths must then actually compute
+    in bf16 — mixed f32xbf16 would silently promote back to f32 and the
+    'half-precision inference' would be a no-op (the halfPrecModels
+    analog, PPOLearner.cpp:41-53)."""
+    from rlgymppo_cpp_tpu.models.mlp import mlp_apply
+
+    policy, params, obs = setup
+    params_bf16 = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16), params)
+
+    # jnp path: bf16 params must produce EXACTLY the explicit
+    # compute_dtype=bf16 result, not the f32 one
+    explicit = mlp_apply(params, obs, compute_dtype=jnp.bfloat16)
+    implied = mlp_apply(params_bf16, obs)
+    f32 = mlp_apply(params, obs)
+    np.testing.assert_array_equal(np.asarray(implied),
+                                  np.asarray(explicit))
+    assert not np.allclose(np.asarray(implied), np.asarray(f32),
+                           atol=1e-6)
+
+    # kernel path: same rule
+    got = fused_mlp_probs(params_bf16, obs, min_prob=ACTION_MIN_PROB,
+                          interpret=True)
+    want = fused_mlp_probs(params, obs, compute_dtype=jnp.bfloat16,
+                           min_prob=ACTION_MIN_PROB, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-2)
+
+
 def test_ragged_batch(setup):
     """Batch not a multiple of the tile: padded rows must not leak."""
     policy, params, obs = setup
