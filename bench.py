@@ -184,7 +184,7 @@ def main():
     cfg = LearnerConfig(num_envs=num_envs)
     # bf16_inference: rollout infers with a bf16 param copy (the
     # halfPrecModels analog) — curve-parity checked at the round-2 shape
-    # (docs_learning_check_plane_bf16_r5.jsonl); learn stays f32
+    # (docs_learning_check_bf16_r5.jsonl); learn stays f32
     cfg.ppo = PPOLearnerConfig(batch_size=batch, epochs=1,
                                mini_batch_size=0, bf16_inference=True)
     ppo = PPOLearner(gym.obs_size, gym.action_amount, cfg.ppo)

@@ -117,11 +117,20 @@ def main():
         # flips with tiny policy drift (bimodal 0/1 win fractions for
         # millions of steps in the r3 AND r4 recorded runs); sampling
         # both policies measures distribution-level skill instead
-        # (docs/EVAL_DIAGNOSIS_R5.md)
+        # (docs/EVAL_DIAGNOSIS_R5.md).
+        # eval_temperature=0.35: FULL-temperature sampling is near-
+        # uniform while policy entropy sits near ln(90) (mid-run PPO) —
+        # both sides play noise and fractions pin at ~0.5. tau=0.35
+        # sharpens onto each policy's preferred actions so skill
+        # expresses, while keeping enough stochasticity to de-correlate
+        # repeated kickoff duels.
+        # 256 eval envs: sampled eval scores fewer goals per horizon
+        # than argmax duels, so double the lockstep eval batch to keep
+        # the per-eval goal sample statistically meaningful
         skill_tracker=SkillTrackerConfig(
-            enabled=True, num_envs=128, update_interval=4,
+            enabled=True, num_envs=256, update_interval=4,
             timesteps_per_version=10_000_000, max_versions=8,
-            eval_deterministic=False),
+            eval_deterministic=False, eval_temperature=0.35),
         checkpoint_save_folder=ckpt_dir,
         checkpoint_load_folder=ckpt_dir,
     )

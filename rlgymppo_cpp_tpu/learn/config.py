@@ -82,6 +82,17 @@ class SkillTrackerConfig:
     # beats the same member 18:4 under sampling). Set False for team
     # self-play runs to measure the policy distribution instead.
     eval_deterministic: bool = True
+    # Sampling temperature for eval_deterministic=False. Full-temperature
+    # sampling (1.0) is only meaningful once the policy distribution has
+    # sharpened: mid-run PPO policies sit near entropy ln(90) and sample
+    # close to UNIFORMLY — both sides then play noise and every win
+    # fraction collapses to ~0.5 regardless of skill (observed: flat
+    # rating vs the initial RANDOM pool member 11M steps into a 2v2
+    # run). A low temperature (~0.3) concentrates sampling on each
+    # policy's preferred actions — skill expresses like argmax — while
+    # still de-correlating repeated kickoff duels, which is the whole
+    # point of sampling (docs/EVAL_DIAGNOSIS_R5.md).
+    eval_temperature: float = 1.0
 
 
 @dataclasses.dataclass
@@ -102,8 +113,23 @@ class LearnerConfig:
     deterministic: bool = False
 
     # Overlap next collection with learning (stale-policy rollout), the
-    # collectionDuringLearn analog (LearnerConfig.h:44-46)
+    # collectionDuringLearn analog (LearnerConfig.h:44-46). Deliberate
+    # default DEVIATION: the reference defaults it true because its CPU
+    # collection and GPU learn run on different hardware and overlap for
+    # free; here both phases share the one TPU, and the fused
+    # single-program path (the default when eligible) already runs
+    # rollout+learn in one XLA program, so pipelined stale-policy
+    # dispatch only helps the non-fused path.
     collection_during_learn: bool = False
+
+    # Fused-path reporting pipeline: dispatch iteration N, then fetch and
+    # report iteration N-1 — the metrics round trip (multi-ms on a
+    # tunneled TPU runtime) and all host-side report/callback work hide
+    # behind device compute, and the device never idles between fused
+    # steps. Reports stay exact and per-iteration, delivered one
+    # iteration late (flushed before learn() returns). Skill evals rate
+    # the dispatch-time policy snapshot; checkpoint saves are unaffected.
+    async_report: bool = True
 
     # RG_PARANOID_MODE analog (RLGymPPO_CPP Framework.h:30-34,
     # GameTrajectory.h:12-24, ExperienceBuffer.cpp:72-88): thread a debug

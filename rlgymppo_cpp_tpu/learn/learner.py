@@ -146,6 +146,8 @@ class Learner:
         self._gym_state = None
         self._obs = None
         self._pending_rollout = None
+        self._pending_iter = None       # async_report in-flight iteration
+        self._last_finalize_t = None
         self._last_save_ts = 0
         self._restore_env_path = None
         self.run_id = None
@@ -445,9 +447,9 @@ class Learner:
         self._fused_buffer["slot"] = jnp.int32(self._fused_K - 1)
         return True
 
-    def _iterate_fused(self, report: Report):
-        """One iteration through the fused single-program train step.
-        Returns the number of player-steps collected."""
+    def _dispatch_fused(self):
+        """Dispatch one fused train step (async — nothing is fetched).
+        Returns the device-backed metrics dict and the steps collected."""
         cfg = self.config
         if self._train_step is None:
             from rlgymppo_cpp_tpu.learn.train_step import make_train_step
@@ -464,7 +466,15 @@ class Learner:
             self.train_state, self._gym_state, self._obs,
             self.return_stats, self._fused_buffer, sub)
         self.ppo.cumulative_model_updates += cfg.ppo.epochs * self._fused_K
+        return metrics, self.steps_per_iter * self.players_per_step
 
+    def _finalize_fused(self, metrics, report: Report):
+        """Fetch a dispatched step's metrics and populate its report.
+        The device_get here is the only host sync of a fused iteration;
+        with async_report it runs AFTER the next step was dispatched, so
+        the fetch's tunnel round trip and all host-side report work
+        overlap with the next iteration's device compute."""
+        cfg = self.config
         m = {k: float(v) for k, v in jax.device_get(metrics).items()}
         if cfg.paranoid and m.pop("paranoid_ok", 1.0) != 1.0:
             raise RuntimeError(
@@ -487,15 +497,47 @@ class Learner:
         for k, v in m.items():
             if k != "episodes_finished":
                 report[k] = v
-        return self.steps_per_iter * self.players_per_step
 
-    def _post_iteration(self, report: Report, ts_collected: int):
+    def _finalize_iteration(self, pend):
+        """Complete a (possibly pipelined) fused iteration: fetch its
+        metrics, time it, and run the post-iteration work. `pend` is the
+        (metrics, report, ts_collected, policy_params, cum_ts, t_dispatch)
+        tuple captured at dispatch."""
+        metrics, report, ts_collected, policy_params, cum_ts, t_disp = pend
+        self._finalize_fused(metrics, report)
+        # Iteration time = the period between successive metric
+        # availabilities (device step time when device-bound, host loop
+        # time when host-bound) — the honest sustained rate either way.
+        now = time.perf_counter()
+        iter_time = now - (self._last_finalize_t if self._last_finalize_t
+                           is not None else t_disp)
+        self._last_finalize_t = now
+        report["Total Iteration Time"] = iter_time
+        report["Overall Steps/Second"] = ts_collected / max(iter_time, 1e-9)
+        report["Cumulative Timesteps"] = cum_ts
+        self._post_iteration(report, ts_collected,
+                             policy_params=policy_params,
+                             report_total_ts=cum_ts)
+
+    def _post_iteration(self, report: Report, ts_collected: int,
+                        policy_params=None, report_total_ts=None):
         """Skill eval, callbacks, metric send, periodic save — shared by
-        the fused and eager iteration paths (Learner.cpp:527-597)."""
+        the fused and eager iteration paths (Learner.cpp:527-597).
+
+        With async_report the learner has already dispatched the NEXT
+        step when this runs: `policy_params` is the dispatch-time policy
+        snapshot (so skill eval rates the policy that produced this
+        report, not the newer in-flight one) and `report_total_ts` is the
+        cumulative count as of this iteration (restored around the user
+        callback so `learner.total_timesteps` reads consistently there).
+        Checkpoint saves use the live counter + live train state — both
+        post-dispatch, hence mutually consistent for deterministic
+        resume."""
         cfg = self.config
         if self.skill_tracker is not None:
             ratings = self.skill_tracker.run_games(
-                self.train_state["policy"], ts_collected)
+                policy_params if policy_params is not None
+                else self.train_state["policy"], ts_collected)
             for mode, r in ratings.items():
                 report[f"Skill Rating {mode}".strip()] = r
             stats = self.skill_tracker.last_eval_stats
@@ -509,10 +551,17 @@ class Learner:
                 self.last_skill_eval_stats = stats
                 self.skill_tracker.last_eval_stats = None
 
-        if self.iteration_callback:
-            self.iteration_callback(self, report)
-        if self.metric_sender is not None:
-            self.metric_sender.send(report)
+        if self.iteration_callback or self.metric_sender is not None:
+            live_ts = self.total_timesteps
+            if report_total_ts is not None:
+                self.total_timesteps = report_total_ts
+            try:
+                if self.iteration_callback:
+                    self.iteration_callback(self, report)
+                if self.metric_sender is not None:
+                    self.metric_sender.send(report)
+            finally:
+                self.total_timesteps = live_ts
 
         if cfg.checkpoint_save_folder and cfg.timesteps_per_save and (
                 self.total_timesteps - self._last_save_ts
@@ -573,21 +622,36 @@ class Learner:
             iter_timer = Timer()
 
             if self._fused_eligible and self._fused_warm():
-                ts_collected = self._iterate_fused(report)
-                self.total_timesteps += ts_collected
-                self.total_epochs += cfg.ppo.epochs
-                iter_time = iter_timer.elapsed()
                 # collect/GAE/PPO are one device program here; the split
                 # timings of the eager path don't exist. Overall SPS is
                 # the honest number (Learner.cpp:541-570).
-                report["Total Iteration Time"] = iter_time
-                report["Overall Steps/Second"] = ts_collected / max(
-                    iter_time, 1e-9)
-                report["Cumulative Timesteps"] = self.total_timesteps
-                self._post_iteration(report, ts_collected)
+                t_disp = time.perf_counter()
+                metrics, ts_collected = self._dispatch_fused()
+                self.total_timesteps += ts_collected
+                self.total_epochs += cfg.ppo.epochs
+                pend = (metrics, report, ts_collected,
+                        self.train_state["policy"], self.total_timesteps,
+                        t_disp)
+                if cfg.async_report:
+                    # Pipelined reporting: finalize the PREVIOUS
+                    # iteration now that this one is queued, hiding the
+                    # metrics fetch + callback host time behind device
+                    # compute (the fused-path analog of the reference's
+                    # collectionDuringLearn overlap, LearnerConfig.h:46)
+                    prev, self._pending_iter = self._pending_iter, pend
+                    if prev is not None:
+                        self._finalize_iteration(prev)
+                else:
+                    self._finalize_iteration(pend)
                 continue
 
-            # ---- collection ----
+            # ---- collection (eager path) ----
+            # if the fused path ran before (warmup handoff), flush its
+            # pipeline and reset the period clock for the eager timers
+            if self._pending_iter is not None:
+                self._finalize_iteration(self._pending_iter)
+                self._pending_iter = None
+            self._last_finalize_t = None
             self.key, sub = jax.random.split(self.key)
             if self.render_sender is not None:
                 self._gym_state, self._obs, traj, col_metrics = \
@@ -676,6 +740,13 @@ class Learner:
                 iter_time, 1e-9)
             report["Cumulative Timesteps"] = self.total_timesteps
             self._post_iteration(report, ts_collected)
+
+        if self._pending_iter is not None:
+            # flush the last pipelined iteration so every dispatched
+            # step's report/callback lands before learn() returns
+            self._finalize_iteration(self._pending_iter)
+            self._pending_iter = None
+        self._last_finalize_t = None
 
         total = total_timer.elapsed()
         if total > 0:

@@ -123,19 +123,29 @@ class SkillTracker:
         gym = self.gym
         N, P, O = gym.num_envs, gym.num_players, gym.obs_size
         teams = jnp.asarray(gym.match.teams)          # [P]
+        temp = float(self.config.eval_temperature)
+
+        def act(params, obs, key):
+            """Eval action selection: argmax when deterministic, else
+            temperature-sharpened sampling (config.eval_temperature —
+            tau < 1 keeps the skill signal of argmax while
+            de-correlating repeated kickoff duels)."""
+            if deterministic or temp == 1.0:
+                return self.policy.get_action(
+                    params, obs, key, deterministic=deterministic)[0]
+            probs = self.policy.get_action_probs(params, obs)
+            return jax.random.categorical(
+                key, jnp.log(probs) / temp, axis=-1)
 
         def body(carry, _):
             gym_state, obs, team_swap, old_idx, key = carry
             key, k_step, k_reset, k_cur, k_old = jax.random.split(key, 5)
 
             flat_obs = obs.reshape(N * P, O)
-            cur_act, _ = self.policy.get_action(
-                cur_params, flat_obs, k_cur, deterministic=deterministic)
+            cur_act = act(cur_params, flat_obs, k_cur)
             per_env_old = jax.tree.map(lambda x: x[old_idx], old_stack)
-            old_act = jax.vmap(
-                lambda p, o, k: self.policy.get_action(
-                    p, o, k, deterministic=deterministic)[0]
-            )(per_env_old, obs, jax.random.split(k_old, N))  # [N, P]
+            old_act = jax.vmap(act)(
+                per_env_old, obs, jax.random.split(k_old, N))  # [N, P]
             cur_act = cur_act.reshape(N, P)
 
             # old plays blue when team_swap; player is blue when teams==0

@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--bf16-inference", action="store_true",
                     help="rollout infers with a bf16 param copy "
                          "(halfPrecModels analog) for curve parity runs")
+    ap.add_argument("--sync-report", action="store_true",
+                    help="disable async_report (per-iteration metric "
+                         "fetch blocks the device) for pipeline A/Bs")
     args = ap.parse_args()
 
     match = Match(
@@ -86,6 +89,8 @@ def main():
     )
     if args.shuffle_block_rows is not None:
         cfg.ppo.shuffle_block_rows = args.shuffle_block_rows
+    if args.sync_report:
+        cfg.async_report = False
     if args.skill_tracker:
         from rlgymppo_cpp_tpu.learn.config import SkillTrackerConfig
         cfg.skill_tracker = SkillTrackerConfig(

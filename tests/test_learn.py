@@ -233,6 +233,67 @@ def test_fused_learner_path(tmp_path):
                for a, b in zip(p_before, p_after))
 
 
+def test_async_report_pipeline_equivalence(tmp_path):
+    """async_report pipelines the metrics fetch behind the next dispatched
+    step; it must not change WHAT is reported — same per-iteration metric
+    sequence, same callback count, and the callback must still observe the
+    iteration's own cumulative timestep count."""
+    from rlgymppo_cpp_tpu.gym import (
+        Gym, Match, DiscreteAction, DefaultOBS, CombinedReward,
+        VelocityPlayerToBallReward, FaceBallReward, NoTouchCondition,
+        GoalScoreCondition, RandomState,
+    )
+    from rlgymppo_cpp_tpu.learn import Learner, LearnerConfig, PPOLearnerConfig
+
+    def make_match():
+        return Match(
+            reward_fn=CombinedReward([(VelocityPlayerToBallReward(), 1.0),
+                                      (FaceBallReward(), 0.25)]),
+            terminal_conditions=[NoTouchCondition(50), GoalScoreCondition()],
+            obs_builder=DefaultOBS(),
+            action_parser=DiscreteAction(),
+            state_setter=RandomState(True, True, True),
+            team_size=1, spawn_opponents=False,
+        )
+
+    def run(async_report):
+        gym = Gym(make_match(), num_envs=8, tick_skip=8)
+        cfg = LearnerConfig(
+            num_envs=8, timesteps_per_iteration=128, exp_buffer_size=128,
+            random_seed=7,
+            ppo=PPOLearnerConfig(
+                batch_size=128, mini_batch_size=0, epochs=1,
+                policy_layer_sizes=(32, 32), critic_layer_sizes=(32, 32)),
+            checkpoint_save_folder=None, checkpoint_load_folder=None,
+            send_metrics=False,
+        )
+        cfg.async_report = async_report
+        learner = Learner(gym, cfg)
+        assert learner._fused_eligible
+        seen = []
+        learner.iteration_callback = lambda lrn, rep: seen.append(
+            (lrn.total_timesteps, dict(rep)))
+        learner.learn(iterations=3)
+        return learner, seen
+
+    lrn_sync, sync_seen = run(False)
+    lrn_async, async_seen = run(True)
+
+    assert len(sync_seen) == len(async_seen) == 3
+    # the callback must see each iteration's own cumulative count even
+    # though (async) the next step is already dispatched when it runs
+    assert [ts for ts, _ in async_seen] == [128, 256, 384]
+    assert [ts for ts, _ in sync_seen] == [128, 256, 384]
+    # after learn() returns, the live counter is the full total again
+    assert lrn_async.total_timesteps == 384
+    for (_, a), (_, b) in zip(sync_seen, async_seen):
+        for k in ("Average Step Reward", "Policy Entropy",
+                  "Mean KL Divergence", "Value Function Loss",
+                  "Cumulative Timesteps"):
+            assert np.isclose(a[k], b[k], rtol=1e-5, atol=1e-7), (
+                k, a[k], b[k])
+
+
 def test_fused_ineligible_configs(capsys):
     """A buffer that is NOT an integer multiple of the batch cannot run
     fused (the on-device window carries whole batches only); an integer

@@ -104,9 +104,41 @@ def test_run_games_sampled_eval():
     cfg = SkillTrackerConfig(
         enabled=True, num_envs=3, max_eval_seconds=3.0,
         timesteps_per_version=100, max_versions=2, rating_inc=5.0,
-        kickoff_only=True, eval_deterministic=False)
+        kickoff_only=True, eval_deterministic=False,
+        eval_temperature=0.35)
     tr = SkillTracker(cfg, match, policy)
     ratings = tr.run_games(params, timesteps_delta=60)
     assert "1v1" in ratings
     assert tr.last_eval_stats is not None
     assert "per_opponent" in tr.last_eval_stats
+
+
+def test_eval_temperature_sharpens_sampling():
+    """tau << 1 must concentrate eval sampling onto the policy's argmax
+    (the skill-expression property the team evals rely on), while tau=1
+    samples the raw near-uniform distribution. Uses unit-normal logits —
+    a trained-policy-like spread (entropy ~ 4.0 vs ln(90) = 4.5). Note a
+    random-INIT MLP is flatter still (logit std ~1e-2) and even tau=0.1
+    barely concentrates there; that's consistent: a policy with no
+    preferences has no skill for the eval to express."""
+    logits = jax.random.normal(jax.random.PRNGKey(1), (512, 90))
+    probs = jax.nn.softmax(logits, axis=-1)
+    greedy = jnp.argmax(probs, axis=-1)
+
+    def sample(temp, key):
+        return jax.random.categorical(
+            key, jnp.log(probs) / temp, axis=-1)
+
+    k = jax.random.PRNGKey(2)
+    sharp = sample(0.1, k)
+    full = sample(1.0, k)
+    frac_sharp = float(jnp.mean(sharp == greedy))
+    frac_full = float(jnp.mean(full == greedy))
+    # tau=1 on near-uniform probs almost never picks the argmax (1/90
+    # base rate ~ 0.011, measured ~0.08); tau=0.1 multiplies every logit
+    # gap 10x and picks it most of the time (measured ~0.81 — the
+    # max-vs-runner-up gap among 90 unit normals is small, so even 10x
+    # sharpening leaves some mass on the runner-up)
+    assert frac_sharp > 0.7, frac_sharp
+    assert frac_full < 0.15, frac_full
+    assert frac_sharp > 5 * frac_full
