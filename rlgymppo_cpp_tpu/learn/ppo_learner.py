@@ -47,10 +47,26 @@ class PPOLearner:
             raise ValueError("batch_size must be a multiple of mini_batch_size")
 
         compute_dtype = jnp.bfloat16 if config.bf16_learn else None
+        # Decide the inference-kernel gate from the devices that will RUN
+        # the math: on a mesh, its devices — the multichip dryrun builds
+        # a virtual CPU mesh while the process's default backend stays
+        # the TPU, and a pallas_call lowered for those CPU devices fails
+        # ("only interpret mode supported"). Any MULTI-device mesh also
+        # keeps the jnp inference path: pallas_call is opaque to the SPMD
+        # partitioner, which would all-gather the env-sharded rollout
+        # batch to run the kernel replicated (the gradient kernel gets an
+        # explicit shard_map path below; inference sharding is already
+        # clean on the jnp path's plain matmuls).
+        if mesh is not None and (
+                next(iter(mesh.devices.flat)).platform != "tpu"
+                or int(mesh.devices.size) > 1):
+            use_pallas = False
+        else:
+            use_pallas = "auto"
         self.policy = DiscretePolicy(
             obs_size, action_amount, config.policy_layer_sizes,
             temperature=config.policy_temperature,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, use_pallas=use_pallas)
         self.value_net = ValueEstimator(
             obs_size, config.critic_layer_sizes, compute_dtype=compute_dtype)
 

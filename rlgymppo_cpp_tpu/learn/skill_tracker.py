@@ -137,15 +137,32 @@ class SkillTracker:
             return jax.random.categorical(
                 key, jnp.log(probs) / temp, axis=-1)
 
+        V = len(jax.tree.leaves(old_stack)) and jax.tree.leaves(
+            old_stack)[0].shape[0]
+
         def body(carry, _):
             gym_state, obs, team_swap, old_idx, key = carry
             key, k_step, k_reset, k_cur, k_old = jax.random.split(key, 5)
 
             flat_obs = obs.reshape(N * P, O)
             cur_act = act(cur_params, flat_obs, k_cur)
-            per_env_old = jax.tree.map(lambda x: x[old_idx], old_stack)
-            old_act = jax.vmap(act)(
-                per_env_old, obs, jax.random.split(k_old, N))  # [N, P]
+            # Old-policy actions: run EVERY pool version on the full
+            # batch and select per env. A per-env parameter gather
+            # (old_stack[old_idx] -> [N, ...] weight copies) moves
+            # ~N x 1 MB of weights per scan step and made the eval scan
+            # ~8x slower than training itself (75% of a 50M team run's
+            # wall); V extra small-batch forwards are ~free next to
+            # that. Unrolled Python loop (V = padded max_versions,
+            # static) rather than vmap so each forward stays a plain
+            # call the Pallas-kernel gate understands.
+            keys_old = jax.random.split(k_old, V)
+            all_old = jnp.stack([
+                act(jax.tree.map(lambda x: x[v], old_stack),
+                    flat_obs, keys_old[v]).reshape(N, P)
+                for v in range(V)])                       # [V, N, P]
+            old_act = jnp.take_along_axis(
+                all_old, old_idx[None, :, None].astype(jnp.int32),
+                axis=0)[0]                                # [N, P]
             cur_act = cur_act.reshape(N, P)
 
             # old plays blue when team_swap; player is blue when teams==0

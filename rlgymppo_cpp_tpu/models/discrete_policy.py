@@ -45,21 +45,35 @@ class DiscretePolicy:
 
     def get_action_probs(self, params, obs):
         """Inference path: fused Pallas kernel when it pays off."""
-        take_pallas = self.use_pallas is True or (
-            self.use_pallas == "auto"
-            and jax.default_backend() == "tpu"
-            and obs.ndim == 2 and obs.shape[0] >= PALLAS_MIN_BATCH)
-        if take_pallas:
+        if self._take_pallas(obs):
             from rlgymppo_cpp_tpu.ops.pallas_mlp import fused_mlp_probs
             return fused_mlp_probs(
                 params, obs, temperature=self.temperature,
                 min_prob=ACTION_MIN_PROB, compute_dtype=self.compute_dtype)
         return self._probs_jnp(params, obs)
 
+    def _take_pallas(self, obs):
+        return self.use_pallas is True or (
+            self.use_pallas == "auto"
+            and jax.default_backend() == "tpu"
+            and obs.ndim == 2 and obs.shape[0] >= PALLAS_MIN_BATCH)
+
     def get_action(self, params, obs, key, deterministic=False):
         """-> (action indices, log probs). Deterministic returns argmax with
-        zero log prob (DiscretePolicy.cpp:51-62)."""
-        probs = self.get_action_probs(params, obs)
+        zero log prob (DiscretePolicy.cpp:51-62).
+
+        Large inference batches on TPU take the fully-fused sampling
+        kernel (ops/pallas_mlp.fused_mlp_sample): probabilities never
+        leave VMEM and the categorical draw runs on the hardware PRNG —
+        same distribution as the jnp path, different pseudorandom stream
+        (both seeded from `key`, so runs stay reproducible)."""
+        if self._take_pallas(obs):
+            from rlgymppo_cpp_tpu.ops.pallas_mlp import fused_mlp_sample
+            return fused_mlp_sample(
+                params, obs, key, deterministic=bool(deterministic),
+                temperature=self.temperature, min_prob=ACTION_MIN_PROB,
+                compute_dtype=self.compute_dtype)
+        probs = self._probs_jnp(params, obs)
         if deterministic:
             action = jnp.argmax(probs, axis=-1)
             return action, jnp.zeros(action.shape, jnp.float32)

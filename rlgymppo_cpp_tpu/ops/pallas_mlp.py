@@ -30,6 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 
+# float32 has 24 mantissa bits; top 24 of a uint32 -> uniform on (0, 1)
+_U24 = float(2.0 ** -24)
+_U25 = float(2.0 ** -25)
+
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
@@ -62,20 +66,7 @@ def _kernel(n_layers, temperature, valid_out, out_pad, compute_dtype,
     else:
         layer_refs = hbm_refs
 
-    x = x_ref[:]
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
-    for i in range(n_layers):
-        w = layer_refs[2 * i][:]
-        b = layer_refs[2 * i + 1][:]
-        if compute_dtype is not None:
-            w = w.astype(compute_dtype)
-        x = jnp.dot(x, w, preferred_element_type=jnp.float32) \
-            + b.astype(jnp.float32)
-        if i < n_layers - 1:
-            x = jnp.maximum(x, 0.0)
-            if compute_dtype is not None:
-                x = x.astype(compute_dtype)
+    x = _mlp_logits(n_layers, compute_dtype, layer_refs, x_ref[:])
 
     # Temperature softmax with padded action columns masked out
     # (DiscretePolicy.cpp:44-50). x is f32 [TILE_B, out_pad].
@@ -88,18 +79,9 @@ def _kernel(n_layers, temperature, valid_out, out_pad, compute_dtype,
     out_ref[:] = e / jnp.sum(e, axis=-1, keepdims=True)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("temperature", "min_prob", "compute_dtype",
-                     "tile_b", "interpret"))
-def fused_mlp_probs(params, obs, temperature=1.0, min_prob=1e-11,
-                    compute_dtype=None, tile_b=512, interpret=False):
-    """Policy action probabilities via one fused Pallas kernel.
-
-    params: list of {'w','b'} layer dicts (models/mlp.py layout).
-    obs: [B, obs_size] float32. Returns [B, action_amount] float32 probs,
-    clipped to [min_prob, 1] like the jnp path.
-    """
+def _prep(params, obs, compute_dtype, tile_b, interpret):
+    """Shared wrapper plumbing: pad obs/weights to 128-lane boundaries,
+    build the input specs and the VMEM-scratch weight setup."""
     B, O = obs.shape
     A = params[-1]["w"].shape[1]
     if compute_dtype is None and params[0]["w"].dtype == jnp.bfloat16:
@@ -141,6 +123,120 @@ def fused_mlp_probs(params, obs, temperature=1.0, min_prob=1e-11,
                 o.shape, lambda i, nd=len(o.shape): (0,) * nd,
                 memory_space=pltpu.VMEM))
         scratch_shapes = []
+    return (x, ops, in_specs, scratch_shapes, scratch_weights,
+            compute_dtype, B, O, A, B_pad, O_pad, A_pad, tile_b)
+
+
+def _mlp_logits(n_layers, compute_dtype, layer_refs, x):
+    """Shared kernel body: padded-obs tile -> raw logits [tile, A_pad]."""
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+    for i in range(n_layers):
+        w = layer_refs[2 * i][:]
+        b = layer_refs[2 * i + 1][:]
+        if compute_dtype is not None:
+            w = w.astype(compute_dtype)
+        x = jnp.dot(x, w, preferred_element_type=jnp.float32) \
+            + b.astype(jnp.float32)
+        if i < n_layers - 1:
+            x = jnp.maximum(x, 0.0)
+            if compute_dtype is not None:
+                x = x.astype(compute_dtype)
+    return x
+
+
+def _sample_kernel(n_layers, temperature, min_prob, valid_out, out_pad,
+                   compute_dtype, scratch_weights, deterministic,
+                   ext_noise, *refs):
+    """refs = seed(SMEM), x_ref, [gumbel_ref,] w0, b0, ...,
+              act_ref, logp_ref (+ scratch weight copies and DMA sems).
+    ext_noise: interpret/CPU mode — the TPU PRNG primitives have no
+    interpreter lowering, so the Gumbel noise arrives as an input."""
+    seed_ref = refs[0]
+    x_ref = refs[1]
+    refs = refs[2:]
+    g_ref = None
+    if ext_noise:
+        g_ref, refs = refs[0], refs[1:]
+    nwb = 2 * n_layers
+    hbm_refs = refs[:nwb]
+    act_ref, logp_ref = refs[nwb], refs[nwb + 1]
+    refs = refs[nwb + 2:]
+    if scratch_weights:
+        layer_refs = refs[:nwb]
+        sems = refs[nwb]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for j in range(nwb):
+                pltpu.make_async_copy(hbm_refs[j], layer_refs[j],
+                                      sems.at[j]).start()
+            for j in range(nwb):
+                pltpu.make_async_copy(hbm_refs[j], layer_refs[j],
+                                      sems.at[j]).wait()
+    else:
+        layer_refs = hbm_refs
+
+    logits = _mlp_logits(n_layers, compute_dtype, layer_refs, x_ref[:])
+    logits = logits / temperature
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    valid = col < valid_out
+    logits = jnp.where(valid, logits, -jnp.inf)
+
+    # log_softmax with the DiscretePolicy min-prob clamp: identical to
+    # log(clip(softmax(logits), min_prob, 1)) on the valid columns
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    lse = m + jnp.log(jnp.sum(jnp.exp(logits - m), axis=-1, keepdims=True))
+    lp = jnp.maximum(logits - lse, jnp.log(jnp.float32(min_prob)))
+    lp = jnp.where(valid, lp, -jnp.inf)
+
+    if deterministic:
+        y = lp
+    elif ext_noise:
+        y = jnp.where(valid, lp + g_ref[:], -jnp.inf)
+    else:
+        # Gumbel-max sampling: argmax(lp + g), g ~ Gumbel(0,1), is an
+        # exact draw from softmax(lp) — same distribution as
+        # jax.random.categorical, different (hardware PRNG) stream.
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        bits = pltpu.bitcast(pltpu.prng_random_bits(logits.shape),
+                             jnp.uint32)
+        # top 24 bits -> (0, 1) uniform; the shift clears the sign bit so
+        # the int32 reinterpretation is value-preserving (Mosaic has no
+        # direct uint32 -> f32 cast)
+        u = pltpu.bitcast(bits >> 8, jnp.int32).astype(jnp.float32) \
+            * _U24 + _U25
+        g = -jnp.log(-jnp.log(u))
+        y = jnp.where(valid, lp + g, -jnp.inf)
+
+    mx = jnp.max(y, axis=-1, keepdims=True)
+    # lowest tied index, matching jnp.argmax tie-breaking
+    idx = jnp.min(jnp.where(y == mx, col, out_pad), axis=-1,
+                  keepdims=True)
+    act_ref[:] = idx
+    if deterministic:
+        # DiscretePolicy.cpp:51-62: argmax actions carry zero log prob
+        logp_ref[:] = jnp.zeros_like(lp[:, :1])
+    else:
+        logp_ref[:] = jnp.sum(jnp.where(col == idx, lp, 0.0), axis=-1,
+                              keepdims=True)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("temperature", "min_prob", "compute_dtype",
+                     "tile_b", "interpret"))
+def fused_mlp_probs(params, obs, temperature=1.0, min_prob=1e-11,
+                    compute_dtype=None, tile_b=512, interpret=False):
+    """Policy action probabilities via one fused Pallas kernel.
+
+    params: list of {'w','b'} layer dicts (models/mlp.py layout).
+    obs: [B, obs_size] float32. Returns [B, action_amount] float32 probs,
+    clipped to [min_prob, 1] like the jnp path.
+    """
+    (x, ops, in_specs, scratch_shapes, scratch_weights, compute_dtype,
+     B, O, A, B_pad, O_pad, A_pad, tile_b) = _prep(
+        params, obs, compute_dtype, tile_b, interpret)
 
     flops = 2 * B_pad * sum(w.size for w in ops[::2])
     probs = pl.pallas_call(
@@ -164,3 +260,79 @@ def fused_mlp_probs(params, obs, temperature=1.0, min_prob=1e-11,
     )(x, *ops)
 
     return jnp.clip(probs[:B, :A], min_prob, 1.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("deterministic", "temperature", "min_prob",
+                     "compute_dtype", "tile_b", "interpret"))
+def fused_mlp_sample(params, obs, key, deterministic=False,
+                     temperature=1.0, min_prob=1e-11, compute_dtype=None,
+                     tile_b=512, interpret=False):
+    """Policy forward + action selection in ONE kernel: MLP -> temperature
+    log-softmax -> min-prob clamp -> Gumbel-max sample (or argmax) ->
+    per-row log-prob. Returns (actions int32 [B], log_probs f32 [B]).
+
+    The probs kernel (fused_mlp_probs) still round-trips an [B, A_pad]
+    f32 probability matrix through HBM and leaves sampling to
+    jax.random.categorical — whose threefry bit generation costs more
+    than the matmuls at rollout batch sizes. Here the probabilities
+    never leave VMEM and the Gumbel draw uses the TPU's hardware PRNG
+    (pltpu.prng_random_bits), so HBM traffic per forward drops to
+    obs-in + two [B] vectors out. Sampling is an exact categorical draw
+    (Gumbel-max over the clamped log-probs — the same distribution
+    DiscretePolicy.get_action samples, DiscretePolicy.cpp:51-62) but on
+    a DIFFERENT pseudorandom stream than jax.random.categorical: seeds
+    derive from `key`, so runs stay reproducible, while trajectories
+    diverge from the jnp path's draw-for-draw (statistically equivalent;
+    tests/test_pallas_mlp.py pins distribution + log-prob parity).
+    """
+    (x, ops, in_specs, scratch_shapes, scratch_weights, compute_dtype,
+     B, O, A, B_pad, O_pad, A_pad, tile_b) = _prep(
+        params, obs, compute_dtype, tile_b, interpret)
+
+    # one int32 seed per call straight from the caller's key bits (a
+    # split key's words are already uniform — no need to pay a threefry
+    # draw per rollout step); per-tile decorrelation adds program_id
+    # inside the kernel
+    kd = jax.random.key_data(key).ravel()
+    seed = jax.lax.bitcast_convert_type(kd[0] ^ kd[-1],
+                                        jnp.int32).reshape(1)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+
+    # interpret/CPU: the TPU PRNG primitives have no interpreter
+    # lowering, so tests feed jax.random Gumbel noise through an input
+    # (same math from the noise on; the hardware-PRNG branch is pinned
+    # on-chip by scripts/probe_sample_kernel.py)
+    ext_noise = bool(interpret) and not deterministic
+    extra = ()
+    if ext_noise:
+        g = jax.random.gumbel(key, (B_pad, A_pad), jnp.float32)
+        in_specs.insert(2, pl.BlockSpec((tile_b, A_pad), lambda i: (i, 0),
+                                        memory_space=pltpu.VMEM))
+        extra = (g,)
+
+    flops = 2 * B_pad * sum(w.size for w in ops[::2])
+    actions, log_probs = pl.pallas_call(
+        functools.partial(_sample_kernel, len(params), float(temperature),
+                          float(min_prob), A, A_pad, compute_dtype,
+                          scratch_weights, bool(deterministic), ext_noise),
+        grid=(B_pad // tile_b,),
+        out_shape=(jax.ShapeDtypeStruct((B_pad, 1), jnp.int32),
+                   jax.ShapeDtypeStruct((B_pad, 1), jnp.float32)),
+        in_specs=in_specs,
+        out_specs=(pl.BlockSpec((tile_b, 1), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((tile_b, 1), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        scratch_shapes=scratch_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=flops, transcendentals=3 * B_pad * A_pad,
+            bytes_accessed=4 * (B_pad * O_pad + 2 * B_pad)
+            + 4 * sum(o.size for o in ops)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(seed, x, *extra, *ops)
+
+    return actions[:B, 0], log_probs[:B, 0]

@@ -49,6 +49,11 @@ def main():
     ap.add_argument("--sync-report", action="store_true",
                     help="disable async_report (per-iteration metric "
                          "fetch blocks the device) for pipeline A/Bs")
+    ap.add_argument("--mini-batches", type=int, default=1,
+                    help="minibatches per batch (default 1 = whole-batch "
+                         "update). >1 engages the shuffled-minibatch "
+                         "path, which the shuffle_block_rows A/B needs — "
+                         "with one minibatch no shuffle ever happens")
     args = ap.parse_args()
 
     match = Match(
@@ -80,7 +85,9 @@ def main():
         timesteps_per_iteration=ts_per_itr,
         exp_buffer_size=ts_per_itr,
         ppo=PPOLearnerConfig(
-            batch_size=ts_per_itr, mini_batch_size=0, epochs=2,
+            batch_size=ts_per_itr,
+            mini_batch_size=0 if args.mini_batches <= 1
+            else ts_per_itr // args.mini_batches, epochs=2,
             ent_coef=0.01, policy_lr=2e-4, critic_lr=2e-4,
             bf16_inference=args.bf16_inference),
         standardize_returns=True,

@@ -11,7 +11,7 @@ import pytest
 
 from rlgymppo_cpp_tpu.models.discrete_policy import (
     ACTION_MIN_PROB, DiscretePolicy)
-from rlgymppo_cpp_tpu.ops.pallas_mlp import fused_mlp_probs
+from rlgymppo_cpp_tpu.ops.pallas_mlp import fused_mlp_probs, fused_mlp_sample
 
 
 @pytest.fixture(scope="module")
@@ -100,6 +100,74 @@ def test_ragged_batch(setup):
     assert got.shape == (37, 90)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-6, rtol=1e-5)
+
+
+def test_sample_deterministic_matches_argmax(setup):
+    """fused_mlp_sample(deterministic=True) must return the argmax of the
+    probs kernel with zero log prob (DiscretePolicy.cpp:51-62)."""
+    policy, params, obs = setup
+    probs = fused_mlp_probs(params, obs, min_prob=ACTION_MIN_PROB,
+                            interpret=True)
+    act, lp = fused_mlp_sample(params, obs, jax.random.PRNGKey(3),
+                               deterministic=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(act),
+                                  np.asarray(jnp.argmax(probs, axis=-1)))
+    np.testing.assert_array_equal(np.asarray(lp), 0.0)
+
+
+def test_sample_log_prob_consistent(setup):
+    """Whatever action the kernel draws, its reported log-prob must equal
+    log(clip(softmax)) of the SAME forward at that action — the value the
+    PPO ratio uses (importance weights corrupt silently otherwise)."""
+    policy, params, obs = setup
+    probs = np.asarray(fused_mlp_probs(
+        params, obs, min_prob=ACTION_MIN_PROB, interpret=True))
+    act, lp = fused_mlp_sample(params, obs, jax.random.PRNGKey(4),
+                               min_prob=ACTION_MIN_PROB, interpret=True)
+    act, lp = np.asarray(act), np.asarray(lp)
+    assert act.shape == lp.shape == (1000,)
+    assert (act >= 0).all() and (act < 90).all()
+    want = np.log(probs[np.arange(1000), act])
+    np.testing.assert_allclose(lp, want, atol=1e-5, rtol=1e-5)
+
+
+def test_sample_distribution(setup):
+    """Gumbel-max over the hardware PRNG must draw from the categorical
+    the probs define: one obs row repeated N times, empirical frequencies
+    vs probs in total-variation distance (a wrong distribution — e.g.
+    biased bits or a missing log — trips this by a wide margin)."""
+    policy, params, obs = setup
+    N = 8192
+    rep = jnp.tile(obs[:1], (N, 1))
+    p = np.asarray(fused_mlp_probs(params, rep[:1], temperature=0.5,
+                                   interpret=True))[0]
+    act, _ = fused_mlp_sample(params, rep, jax.random.PRNGKey(5),
+                              temperature=0.5, interpret=True)
+    counts = np.bincount(np.asarray(act), minlength=90)[:90]
+    tv = 0.5 * np.abs(counts / N - p).sum()
+    # multinomial sampling noise at N=8192 over 90 bins gives TV ~ 0.04;
+    # a uniform (broken) sampler against temperature-0.5 probs gives ~0.3+
+    assert tv < 0.1, tv
+    # independent keys draw different actions
+    act2, _ = fused_mlp_sample(params, rep, jax.random.PRNGKey(6),
+                               temperature=0.5, interpret=True)
+    assert np.any(np.asarray(act) != np.asarray(act2))
+
+
+def test_sample_ragged_and_bf16(setup):
+    """Ragged batches pad cleanly; bf16 params imply bf16 compute and
+    still report consistent log-probs."""
+    policy, params, obs = setup
+    params_bf16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    probs = np.asarray(fused_mlp_probs(
+        params_bf16, obs[:37], min_prob=ACTION_MIN_PROB, interpret=True))
+    act, lp = fused_mlp_sample(params_bf16, obs[:37],
+                               jax.random.PRNGKey(7),
+                               min_prob=ACTION_MIN_PROB, interpret=True)
+    act, lp = np.asarray(act), np.asarray(lp)
+    assert act.shape == (37,)
+    want = np.log(probs[np.arange(37), act])
+    np.testing.assert_allclose(lp, want, atol=1e-4, rtol=1e-4)
 
 
 def test_auto_gate_prefers_jnp_off_tpu(setup):
