@@ -128,6 +128,13 @@ def main():
             timesteps_per_version=10_000_000, max_versions=8),
         checkpoint_save_folder=args.checkpoints,
         checkpoint_load_folder=args.checkpoints,
+        # The reference's 500k-step default saves every ~7s of its 70k
+        # sps compute; at 2.8M sps that cadence is every ~0.2s, and a
+        # full-resume snapshot (params + env state + ring window) is a
+        # ~150 MB device fetch — saves would dominate wall time 10:1
+        # (observed on the first hoops demo run). 5M steps keeps 10+
+        # checkpoints per 50M-step run.
+        timesteps_per_save=5_000_000,
     )
 
     if args.fused:

@@ -133,6 +133,10 @@ def main():
             eval_deterministic=False, eval_temperature=0.35),
         checkpoint_save_folder=ckpt_dir,
         checkpoint_load_folder=ckpt_dir,
+        # 500k-step saves (reference cadence at 70k sps) are every ~0.2s
+        # of device time at TPU rates, and each full-resume snapshot is
+        # a large tunnel fetch — save every 5M instead (10 per run)
+        timesteps_per_save=5_000_000,
     )
 
     match = make_match(args.team_size, max_players, args.team_spirit,

@@ -42,6 +42,24 @@ class RandomState:
         batch = state.batch_shape
         P = arena.num_players
 
+        # Arena-aware spawn extents. The class constants are the
+        # reference's soccar margins (RandomState.cpp:8-62); hoops'
+        # arena is smaller (+-2967 x +-3581 x 1820 vs +-4096 x +-5120 x
+        # 2048), so the soccar constants spawn ~25% of cars/balls inside
+        # or beyond the walls — observed as a 20M-step hoops run whose
+        # policy never moved off uniform (embedded entities feed the
+        # batch symmetric junk rewards that drown the learning signal).
+        # Scale each axis by the active arena's extent ratio.
+        from rlgymppo_cpp_tpu.sim.arena import GameMode
+        if arena.game_mode == GameMode.HOOPS:
+            sx = C.ARENA_EXTENT_X_HOOPS / C.ARENA_EXTENT_X
+            sy = C.ARENA_EXTENT_Y_HOOPS / C.ARENA_EXTENT_Y
+            sz = C.ARENA_HEIGHT_HOOPS / C.ARENA_HEIGHT
+        else:
+            sx = sy = sz = 1.0
+        x_max, y_max = self.X_MAX * sx, self.Y_MAX * sy
+        z_max = self.Z_MAX * sz
+
         def rand_vec(k, shape, lo, hi):
             return jax.random.uniform(
                 k, (*shape, 3), minval=jnp.asarray(lo, jnp.float32),
@@ -54,8 +72,8 @@ class RandomState:
 
         # Ball
         bpos = rand_vec(keys[0], batch,
-                        (-self.X_MAX, -self.Y_MAX, CV.BALL_RADIUS),
-                        (self.X_MAX, self.Y_MAX, self.Z_MAX))
+                        (-x_max, -y_max, CV.BALL_RADIUS),
+                        (x_max, y_max, z_max))
         bvel = rand_norm_vec(keys[1], batch) * jax.random.uniform(
             keys[2], batch, minval=0.0, maxval=4000.0)[..., None]
         bang = rand_vec(keys[3], batch, (-4, -4, -4), (4, 4, 4))
@@ -67,8 +85,8 @@ class RandomState:
         # Cars
         shape = (*batch, P)
         cpos = rand_vec(keys[4], shape,
-                        (-self.X_MAX, -self.Y_MAX, self.CAR_Z_MIN),
-                        (self.X_MAX, self.Y_MAX, self.Z_MAX))
+                        (-x_max, -y_max, self.CAR_Z_MIN),
+                        (x_max, y_max, z_max))
         cvel = rand_norm_vec(keys[5], shape) * jax.random.uniform(
             keys[6], shape, minval=0.0, maxval=C.CAR_MAX_SPEED)[..., None]
         cang = rand_norm_vec(keys[7], shape) * 5.5

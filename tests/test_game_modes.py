@@ -155,3 +155,33 @@ def test_void_has_no_world():
     state = run_ticks(arena, state, 120)
     # 1s of free fall from 200uu with -100uu/s: z ≈ 200 - 100 - g/2 ≈ -225
     assert float(state.ball.pos[2]) < -150.0
+
+
+def test_random_state_respects_hoops_extents():
+    """RandomState scales its soccar spawn margins to the active arena:
+    in hoops (+-2967 x +-3581 walls) the soccar constants (+-3500 x
+    +-4000) placed ~25% of entities inside/beyond the walls, which
+    silently destroyed hoops training (symmetric junk rewards from
+    embedded cars/balls drowned the learning signal)."""
+    from rlgymppo_cpp_tpu.gym.state_setters import RandomState
+
+    arena = Arena(game_mode=GameMode.HOOPS, teams=(0, 1))
+    state = arena.default_state((16,))
+    setter = RandomState(True, True, False)
+    state = setter.reset(arena, state, jax.random.PRNGKey(3))
+    bx, by, bz = [np.asarray(state.ball.pos[..., i]) for i in range(3)]
+    cx, cy, cz = [np.asarray(state.cars.pos[..., i]) for i in range(3)]
+    ex = C.ARENA_EXTENT_X_HOOPS
+    ey = C.ARENA_EXTENT_Y_HOOPS
+    ez = C.ARENA_HEIGHT_HOOPS
+    for name, v, lim in (("ball x", bx, ex), ("ball y", by, ey),
+                         ("car x", cx, ex), ("car y", cy, ey)):
+        assert np.abs(v).max() < lim, (name, np.abs(v).max(), lim)
+    assert bz.max() < ez and cz.max() < ez
+
+    # soccar margins unchanged (reference RandomState.cpp parity)
+    arena_s = Arena(game_mode=GameMode.SOCCAR, teams=(0, 1))
+    st = setter.reset(arena_s, arena_s.default_state((64,)),
+                      jax.random.PRNGKey(4))
+    assert np.abs(np.asarray(st.ball.pos[..., 0])).max() > \
+        C.ARENA_EXTENT_X_HOOPS  # uses the full soccar +-3500 range
